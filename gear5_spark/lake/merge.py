@@ -1,0 +1,202 @@
+"""MERGE INTO for the lake table — bucket-pruned copy-on-write upsert.
+
+The reference implies per-key upsert semantics via
+``SourceDefinedPrimaryKey`` + soft-delete markers
+(``/root/reference/types/stream.go:45-51``,
+``drivers/postgres/internal/cdc.go:70-78``) but ships no sink; this module
+is that sink, expressed as Spark relational algebra so Catalyst/AQE pick
+the physical join strategy:
+
+    MERGE INTO target USING batch ON <key equality>
+      WHEN MATCHED AND batch.lsn >= target.lsn AND op='delete' THEN DELETE
+      WHEN MATCHED AND batch.lsn >= target.lsn THEN UPDATE SET *
+      WHEN NOT MATCHED AND op != 'delete' THEN INSERT *
+
+Two physical paths over the same keyed join shuffle:
+
+- ``order_guard=True`` (default): full-outer join with an LSN guard —
+  a batch row only wins if its ``_cdc_lsn`` >= the stored row's. This
+  makes apply *order-insensitive across micro-batches* (replays and
+  reordered batches can never regress a row), strictly stronger than the
+  reference's reliance on serial WAL order
+  (``pkg/waljs/waljs.go:332-348``).
+- ``order_guard=False``: anti-join + union — cheapest plan for bulk
+  replay where the batch is known to contain the globally-latest event
+  per key.
+
+Scale properties:
+- only *affected buckets* (those containing a batched key) are read and
+  rewritten — copy-on-write amplification is O(affected buckets), not
+  O(table); file-level pruning comes from manifest bucket metadata;
+- the join shuffles on the MERGE key; the batch side is one row per key
+  post-dedup, so AQE broadcasts it when it fits (`broadcast_batch=True`
+  forces it); AQE skew-join splits oversized partitions.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from gear5_spark.lake.table import (
+    BUCKET_COL,
+    CDC_DELETED_AT,
+    CDC_LSN,
+    LakeTable,
+    Snapshot,
+)
+from gear5_spark.operators.typing import merge_schemas
+
+# change-feed metadata columns that never land in the target table
+_FEED_META = ("lsn", "txn_id", "txn_seq", "ts_ms")
+
+
+@dataclass
+class MergeStats:
+    affected_buckets: list[int]
+    rewritten_files: int
+    kept_files: int
+    schema_changes: list[str]
+
+
+def _project(df: DataFrame, schema: T.StructType) -> DataFrame:
+    """Select schema columns, adding typed nulls for columns df lacks
+    (null backfill for additive evolution, SURVEY.md ST7)."""
+    have = set(df.columns)
+    cols = [
+        F.col(f.name).cast(f.dataType).alias(f.name)
+        if f.name in have
+        else F.lit(None).cast(f.dataType).alias(f.name)
+        for f in schema.fields
+    ]
+    return df.select(*cols)
+
+
+def merge_into(
+    table: LakeTable,
+    batch: DataFrame,
+    op_col: str = "op",
+    delete_mode: str = "hard",
+    order_guard: bool = True,
+    broadcast_batch: bool = False,
+    txn_app_id: str | None = None,
+    txn_batch_id: int | None = None,
+    lineage: dict[str, Any] | None = None,
+) -> tuple[Snapshot, MergeStats]:
+    """Apply a deduped change batch (one row per key) to the table.
+
+    ``batch`` columns: key columns + ``op`` + any subset of target columns
+    (missing -> null-backfilled; new -> additive schema evolution via the
+    widening lattice). In ``soft`` delete mode, deletes survive as
+    tombstones with ``_cdc_deleted_at`` set; ``hard`` removes the row.
+    """
+    if delete_mode not in ("hard", "soft"):
+        raise ValueError(f"delete_mode must be hard|soft, got {delete_mode}")
+    snap = table.snapshot()
+    key_cols = snap.properties["key_columns"]
+
+    data_col_names = {f.name for f in snap.schema.fields}
+    new_fields = [
+        f
+        for f in batch.schema.fields
+        if f.name not in data_col_names
+        and f.name not in (op_col, BUCKET_COL)
+        and f.name not in _FEED_META
+    ]
+    evolved, changes = merge_schemas(
+        snap.schema, T.StructType(list(snap.schema.fields) + new_fields)
+    )
+    write_schema = T.StructType(
+        list(evolved.fields) + [T.StructField(BUCKET_COL, T.IntegerType(), True)]
+    )
+
+    keyed = batch.withColumn(BUCKET_COL, table.bucket_expr(snap))
+    affected = sorted(r[0] for r in keyed.select(BUCKET_COL).distinct().collect())
+    target = table.read(snapshot=snap, buckets=affected, with_internal=True)
+
+    if order_guard:
+        new_data = _guarded_merge(
+            target, keyed, key_cols, op_col, delete_mode, write_schema,
+            broadcast_batch,
+        )
+    else:
+        batch_keys = keyed.select(*key_cols).distinct()
+        if broadcast_batch:
+            batch_keys = F.broadcast(batch_keys)
+        survivors = target.join(batch_keys, on=key_cols, how="left_anti")
+        upserts = (
+            keyed if delete_mode == "soft"
+            else keyed.filter(F.col(op_col) != "delete")
+        )
+        new_data = _project(survivors, write_schema).unionByName(
+            _project(upserts, write_schema)
+        )
+
+    _, new_entries = table.write_data_files(new_data)
+    kept = [f for f in snap.files if f["bucket"] not in set(affected)]
+    new_snap = table.commit(
+        files=kept + new_entries,
+        schema=evolved,
+        txn_app_id=txn_app_id,
+        txn_batch_id=txn_batch_id,
+        lineage=lineage,
+    )
+    return new_snap, MergeStats(
+        affected_buckets=affected,
+        rewritten_files=len(new_entries),
+        kept_files=len(kept),
+        schema_changes=changes,
+    )
+
+
+def _guarded_merge(
+    target: DataFrame,
+    keyed_batch: DataFrame,
+    key_cols: list[str],
+    op_col: str,
+    delete_mode: str,
+    write_schema: T.StructType,
+    broadcast_batch: bool,
+) -> DataFrame:
+    """Full-outer merge with LSN guard; one shuffle on the key columns."""
+    t_payload = [c for c in target.columns if c not in key_cols]
+    b_payload = [c for c in keyed_batch.columns if c not in key_cols]
+    t = target.select(
+        *key_cols, F.struct(*[F.col(c) for c in t_payload]).alias("_t")
+    )
+    b = keyed_batch.select(
+        *key_cols, F.struct(*[F.col(c) for c in b_payload]).alias("_b")
+    )
+    if broadcast_batch:
+        b = F.broadcast(b)
+    j = t.join(b, on=key_cols, how="full_outer")
+
+    guard = F.coalesce(
+        F.col(f"_b.{CDC_LSN}").try_cast("long")
+        >= F.col(f"_t.{CDC_LSN}").try_cast("long"),
+        F.lit(True),
+    )
+    batch_wins = F.col("_b").isNotNull() & (F.col("_t").isNull() | guard)
+    is_delete = F.col(f"_b.{op_col}") == "delete"
+
+    kept = j.filter(~batch_wins).select(
+        *key_cols, *[F.col(f"_t.{c}").alias(c) for c in t_payload]
+    )
+    applied_src = j.filter(batch_wins)
+    if delete_mode == "hard":
+        applied_src = applied_src.filter(~is_delete)
+    applied = applied_src.select(
+        *key_cols, *[F.col(f"_b.{c}").alias(c) for c in b_payload]
+    )
+    return _project(kept, write_schema).unionByName(_project(applied, write_schema))
+
+
+def active(df: DataFrame) -> DataFrame:
+    """Filter out soft-deleted tombstones (reads of a soft-delete table)."""
+    if CDC_DELETED_AT in df.columns:
+        return df.filter(F.col(CDC_DELETED_AT).isNull())
+    return df

@@ -1,0 +1,372 @@
+"""Snapshot-based lake table on parquet — the engine's sink format.
+
+The reference declares a destination interface but never implements one
+(``/root/reference/protocol/interface.go:50-54`` ``Adapter.Write``,
+``protocol/write.go:6-12`` empty stub); records go to stdout as JSON lines.
+This module is the half the reference leaves open, built Iceberg-style:
+
+- a table = a directory of immutable parquet data files + a log of JSON
+  snapshot *manifests* under ``_lake/``; the highest ``v%08d.json`` is the
+  current state (≈ Iceberg metadata.json + version-hint);
+- commits are atomic: manifest written to a temp file then published with
+  ``os.link`` (fails if the version already exists → no torn commits; on a
+  real deployment this maps to an Iceberg catalog's atomic swap);
+- data files are hash-bucketed by key (``bucket(n_buckets, bucket_column)``)
+  so MERGE rewrites only affected buckets (copy-on-write at bucket
+  granularity) and keyed scans prune files;
+- schema lives in the manifest; evolution is additive-only with the
+  reference's type-widening lattice (``/root/reference/typeutils/fields.go:
+  18-28``) enforced by :mod:`gear5_spark.operators.typing`;
+- a per-application transaction ledger (``txn: {app_id: last_batch_id}``)
+  rides inside every manifest — the exactly-once commit-dedup primitive
+  (≈ Delta's txnAppId/txnVersion; strictly stronger than the reference's
+  ack-after-emit at-least-once protocol, ``pkg/waljs/waljs.go:252-257``);
+- per-commit lineage (lsn range, event count, snapshot id) is embedded in
+  the manifest, making data + state + metrics one atomic unit.
+
+At 100 TB: manifests list O(files) entries; for very large tables the
+``files`` list would be split into avro manifest-lists exactly as Iceberg
+does — the commit protocol and pruning logic here are unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MANIFEST_DIR = "_lake"
+DATA_DIR = "data"
+# partition directory column: a copy of the bucket id used only for the
+# on-disk layout (partitionBy strips it); the real `_bucket` column stays
+# inside the parquet data so reads never depend on path inference.
+PART_COL = "_pb"
+BUCKET_COL = "_bucket"
+
+CDC_LSN = "_cdc_lsn"
+CDC_UPDATED_AT = "_cdc_updated_at"
+CDC_DELETED_AT = "_cdc_deleted_at"
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another writer published this version first (single-writer expected)."""
+
+
+class SchemaEvolutionError(ValueError):
+    """Non-additive / narrowing schema change rejected."""
+
+
+@dataclass
+class Snapshot:
+    version: int
+    snapshot_id: str
+    parent_version: int | None
+    schema: T.StructType
+    properties: dict[str, Any]
+    files: list[dict[str, Any]]  # {"path": rel, "bucket": int, "rows": int|None}
+    txn: dict[str, int]  # app_id -> last committed batch id
+    lineage: list[dict[str, Any]] = field(default_factory=list)
+    committed_at_ms: int = 0
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "version": self.version,
+                "snapshot_id": self.snapshot_id,
+                "parent_version": self.parent_version,
+                "schema": self.schema.jsonValue(),
+                "properties": self.properties,
+                "files": self.files,
+                "txn": self.txn,
+                "lineage": self.lineage,
+                "committed_at_ms": self.committed_at_ms,
+            },
+            indent=None,
+            separators=(",", ":"),
+        )
+
+    @staticmethod
+    def from_json(s: str) -> "Snapshot":
+        d = json.loads(s)
+        return Snapshot(
+            version=d["version"],
+            snapshot_id=d["snapshot_id"],
+            parent_version=d.get("parent_version"),
+            schema=T.StructType.fromJson(d["schema"]),
+            properties=d.get("properties", {}),
+            files=d.get("files", []),
+            txn=d.get("txn", {}),
+            lineage=d.get("lineage", []),
+            committed_at_ms=d.get("committed_at_ms", 0),
+        )
+
+
+def _manifest_path(table_dir: str, version: int) -> str:
+    return os.path.join(table_dir, MANIFEST_DIR, f"v{version:08d}.json")
+
+
+class LakeTable:
+    """A bucketed, snapshot-versioned parquet table with atomic commits."""
+
+    def __init__(self, spark: SparkSession, table_dir: str):
+        self.spark = spark
+        self.table_dir = os.path.abspath(table_dir)
+
+    # ---------------------------------------------------------------- create
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        table_dir: str,
+        schema: T.StructType,
+        key_columns: list[str],
+        bucket_column: str | None = None,
+        n_buckets: int = 16,
+        if_not_exists: bool = False,
+    ) -> "LakeTable":
+        t = cls(spark, table_dir)
+        if t.exists():
+            if if_not_exists:
+                return t
+            raise FileExistsError(f"table already exists: {table_dir}")
+        names = {f.name for f in schema.fields}
+        missing = [k for k in key_columns if k not in names]
+        if missing:
+            raise ValueError(f"key columns not in schema: {missing}")
+        os.makedirs(os.path.join(t.table_dir, MANIFEST_DIR), exist_ok=True)
+        os.makedirs(os.path.join(t.table_dir, DATA_DIR), exist_ok=True)
+        snap = Snapshot(
+            version=0,
+            snapshot_id=uuid.uuid4().hex,
+            parent_version=None,
+            schema=schema,
+            properties={
+                "key_columns": key_columns,
+                "bucket_column": bucket_column or key_columns[0],
+                "n_buckets": n_buckets,
+            },
+            files=[],
+            txn={},
+            committed_at_ms=int(time.time() * 1000),
+        )
+        t._publish(snap)
+        return t
+
+    def exists(self) -> bool:
+        d = os.path.join(self.table_dir, MANIFEST_DIR)
+        return os.path.isdir(d) and any(
+            f.startswith("v") and f.endswith(".json") for f in os.listdir(d)
+        )
+
+    # ------------------------------------------------------------- snapshots
+    def current_version(self) -> int:
+        d = os.path.join(self.table_dir, MANIFEST_DIR)
+        versions = [
+            int(f[1:9])
+            for f in os.listdir(d)
+            if f.startswith("v") and f.endswith(".json")
+        ]
+        if not versions:
+            raise FileNotFoundError(f"no snapshots in {d}")
+        return max(versions)
+
+    def snapshot(self, version: int | None = None) -> Snapshot:
+        v = self.current_version() if version is None else version
+        with open(_manifest_path(self.table_dir, v)) as fh:
+            return Snapshot.from_json(fh.read())
+
+    def history(self) -> list[Snapshot]:
+        return [self.snapshot(v) for v in range(self.current_version() + 1)]
+
+    # ----------------------------------------------------------------- reads
+    @property
+    def schema(self) -> T.StructType:
+        return self.snapshot().schema
+
+    def _read_schema(self, snap: Snapshot) -> T.StructType:
+        fields = list(snap.schema.fields)
+        fields.append(T.StructField(BUCKET_COL, T.IntegerType(), True))
+        return T.StructType(fields)
+
+    def read(
+        self,
+        snapshot: Snapshot | None = None,
+        buckets: list[int] | None = None,
+        with_internal: bool = False,
+    ) -> DataFrame:
+        """Current (or given) snapshot as a DataFrame.
+
+        ``buckets`` prunes at the file level using manifest metadata — the
+        scan never opens a file of a non-matching bucket (the moral
+        equivalent of Iceberg partition pruning on ``bucket(conv_id)``).
+        """
+        snap = snapshot or self.snapshot()
+        files = snap.files
+        if buckets is not None:
+            want = set(buckets)
+            files = [f for f in files if f["bucket"] in want]
+        read_schema = self._read_schema(snap)
+        if not files:
+            df = self.spark.createDataFrame([], read_schema)
+        else:
+            paths = [os.path.join(self.table_dir, f["path"]) for f in files]
+            df = self.spark.read.schema(read_schema).parquet(*paths)
+        if not with_internal:
+            df = df.select(*[f.name for f in snap.schema.fields])
+        return df
+
+    def bucket_expr(self, snap: Snapshot | None = None):
+        snap = snap or self.snapshot()
+        col = snap.properties["bucket_column"]
+        n = snap.properties["n_buckets"]
+        return F.pmod(F.xxhash64(F.col(col).cast("string")), F.lit(n)).cast("int")
+
+    # ---------------------------------------------------------------- writes
+    def _publish(self, snap: Snapshot) -> None:
+        final = _manifest_path(self.table_dir, snap.version)
+        tmp = final + f".{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as fh:
+            fh.write(snap.to_json())
+        try:
+            os.link(tmp, final)  # atomic create-if-absent on POSIX
+        except FileExistsError as e:
+            raise ConcurrentCommitError(
+                f"version {snap.version} already committed"
+            ) from e
+        finally:
+            os.unlink(tmp)
+
+    def write_data_files(
+        self, df: DataFrame, commit_token: str | None = None
+    ) -> tuple[str, list[dict[str, Any]]]:
+        """Write ``df`` (must carry ``_bucket``) as immutable data files.
+
+        Files land under ``data/<commit>/_pb=<bucket>/``; returns manifest
+        file entries. Uncommitted directories are orphans (cleaned by
+        :meth:`vacuum`), never visible to readers — abort safety.
+        """
+        commit = commit_token or f"c-{uuid.uuid4().hex}"
+        rel_dir = os.path.join(DATA_DIR, commit)
+        out_dir = os.path.join(self.table_dir, rel_dir)
+        (
+            df.withColumn(PART_COL, F.col(BUCKET_COL))
+            .write.partitionBy(PART_COL)
+            .mode("errorifexists")
+            .parquet(out_dir)
+        )
+        entries: list[dict[str, Any]] = []
+        for root, _dirs, names in os.walk(out_dir):
+            base = os.path.basename(root)
+            if not base.startswith(f"{PART_COL}="):
+                continue
+            bucket = int(base.split("=", 1)[1])
+            for name in names:
+                if not name.endswith(".parquet"):
+                    continue
+                rel = os.path.relpath(os.path.join(root, name), self.table_dir)
+                entries.append({"path": rel, "bucket": bucket, "rows": None})
+        return commit, entries
+
+    def commit(
+        self,
+        files: list[dict[str, Any]],
+        schema: T.StructType | None = None,
+        txn_app_id: str | None = None,
+        txn_batch_id: int | None = None,
+        lineage: dict[str, Any] | None = None,
+        retain_lineage: int = 10_000,
+    ) -> Snapshot:
+        """Publish a new snapshot pointing at ``files`` (the FULL file set)."""
+        parent = self.snapshot()
+        txn = dict(parent.txn)
+        if txn_app_id is not None:
+            if txn_batch_id is None:
+                raise ValueError("txn_batch_id required with txn_app_id")
+            prev = txn.get(txn_app_id)
+            if prev is not None and txn_batch_id <= prev:
+                raise ConcurrentCommitError(
+                    f"batch {txn_batch_id} already committed for {txn_app_id}"
+                )
+            txn[txn_app_id] = txn_batch_id
+        version = parent.version + 1
+        snapshot_id = uuid.uuid4().hex
+        now_ms = int(time.time() * 1000)
+        lin = list(parent.lineage)
+        if lineage is not None:
+            entry = dict(lineage)
+            entry["snapshot_id"] = snapshot_id
+            entry["snapshot_version"] = version
+            entry["committed_at_ms"] = now_ms
+            lin.append(entry)
+        lin = lin[-retain_lineage:]
+        snap = Snapshot(
+            version=version,
+            snapshot_id=snapshot_id,
+            parent_version=parent.version,
+            schema=schema or parent.schema,
+            properties=parent.properties,
+            files=files,
+            txn=txn,
+            lineage=lin,
+            committed_at_ms=now_ms,
+        )
+        self._publish(snap)
+        return snap
+
+    def last_committed_batch(self, txn_app_id: str) -> int | None:
+        """Commit-dedup lookup: highest batch id this app has committed."""
+        return self.snapshot().txn.get(txn_app_id)
+
+    def overwrite(self, df: DataFrame, schema: T.StructType | None = None) -> Snapshot:
+        """Replace all table data (used by snapshot/full-refresh load, S1/S5)."""
+        snap = self.snapshot()
+        data = df.withColumn(BUCKET_COL, self.bucket_expr(snap))
+        _, entries = self.write_data_files(data)
+        return self.commit(entries, schema=schema)
+
+    # ------------------------------------------------------------ utilities
+    def lineage_df(self) -> DataFrame:
+        """Lineage/metrics rows of every commit, as a DataFrame (A3/§FIXTURES.4)."""
+        rows = []
+        for s in self.history():
+            for entry in s.lineage:
+                if entry.get("snapshot_version") == s.version:
+                    rows.append(entry)
+        schema = T.StructType(
+            [
+                T.StructField("batch_id", T.LongType()),
+                T.StructField("lsn_min", T.LongType()),
+                T.StructField("lsn_max", T.LongType()),
+                T.StructField("event_count", T.LongType()),
+                T.StructField("txn_ids_hash", T.StringType()),
+                T.StructField("snapshot_id", T.StringType()),
+                T.StructField("snapshot_version", T.LongType()),
+                T.StructField("committed_at_ms", T.LongType()),
+            ]
+        )
+        data = [
+            tuple(r.get(f.name) for f in schema.fields) for r in rows
+        ]
+        return self.spark.createDataFrame(data, schema)
+
+    def vacuum(self) -> list[str]:
+        """Delete data directories unreachable from any snapshot (orphans)."""
+        live: set[str] = set()
+        for s in self.history():
+            for f in s.files:
+                live.add(f["path"].split(os.sep)[1])  # data/<commit>/...
+        removed = []
+        data_root = os.path.join(self.table_dir, DATA_DIR)
+        for d in os.listdir(data_root):
+            if d not in live:
+                shutil.rmtree(os.path.join(data_root, d))
+                removed.append(d)
+        return removed

@@ -1,0 +1,184 @@
+"""Micro-batch apply: normalize -> dedup -> MERGE -> lineage, exactly-once.
+
+This is the ``foreachBatch`` body (SURVEY.md §3.1 Spark equivalent). Per
+micro-batch:
+
+1. **commit-dedup** (ST1): if the lake table's txn ledger already records
+   this (app_id, batch_id), the batch is a checkpoint replay after a crash
+   *post-commit* — skip it entirely. Combined with the atomic manifest
+   commit this upgrades the reference's at-least-once ack-after-emit
+   (``/root/reference/pkg/waljs/waljs.go:252-257``) to exactly-once.
+2. **schema discovery** (ST7): detect payload JSON keys unseen so far
+   (JVM-side: ``from_json`` to a map + explode keys), extend the persisted
+   schema registry additively — this is how a ``tool`` column appearing
+   mid-stream becomes a real typed column with null backfill.
+3. **normalize**: typed columns + ``_cdc_*`` stamps (operators.normalize).
+4. **dedup** (A5): latest event per ``(conv_id, turn_idx)`` by
+   ``(lsn, txn_seq)``, map-side-combined, optional salting for skew.
+5. **MERGE** with LSN order-guard + lineage row embedded in the same
+   atomic commit (lsn range, event count, txn-ids hash — FIXTURES.md §4).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from gear5_spark.lake.merge import MergeStats, merge_into
+from gear5_spark.lake.table import LakeTable, Snapshot
+from gear5_spark.operators.dedup import latest_per_key
+from gear5_spark.operators.normalize import normalize_changes
+
+# payload fields every transcripts feed starts with (BASELINE.json
+# input_hint); `ts` arrives as epoch-seconds double and lands as timestamp
+BASE_PAYLOAD = {"role": "string", "text": "string", "ts": "double"}
+_EPOCH_FIELDS = {"ts"}
+KEY_COLS = ["conv_id", "turn_idx"]
+
+
+def _registry_to_schema(registry: dict[str, str]) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField(name, T._parse_datatype_string(dt), True)
+            for name, dt in registry.items()
+        ]
+    )
+
+
+@dataclass
+class TranscriptsApplier:
+    """Stateful foreachBatch callable for the transcripts CDC pipeline."""
+
+    table: LakeTable
+    app_id: str
+    registry_path: str
+    delete_mode: str = "hard"
+    normalize_mode: str = "sql"
+    salt_buckets: int = 1
+    order_guard: bool = True
+    broadcast_batch: bool = False
+    applied: list[MergeStats] = field(default_factory=list)
+    skipped_batches: list[int] = field(default_factory=list)
+
+    # ------------------------------------------------------- schema registry
+    def load_registry(self) -> dict[str, str]:
+        if os.path.exists(self.registry_path):
+            with open(self.registry_path) as fh:
+                return json.load(fh)
+        return dict(BASE_PAYLOAD)
+
+    def save_registry(self, registry: dict[str, str]) -> None:
+        tmp = self.registry_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(registry, fh, indent=2, sort_keys=True)
+        os.replace(tmp, self.registry_path)
+
+    def discover_new_fields(
+        self, batch: DataFrame, registry: dict[str, str]
+    ) -> dict[str, str]:
+        """Additive payload-key discovery, entirely JVM-side.
+
+        ≈ the reference's 100-record sampling inference
+        (``protocol/discover.go:46-90``) but per micro-batch: unknown JSON
+        keys are typed by sampling values (numeric -> double, else string —
+        the widening-lattice-safe choice, ``typeutils/datatype.go:12-40``).
+        """
+        keys_df = (
+            batch.select(
+                F.explode(
+                    F.map_keys(
+                        F.from_json(F.col("after_json"), "map<string,string>")
+                    )
+                ).alias("k")
+            )
+            .distinct()
+        )
+        observed = {r[0] for r in keys_df.collect()}
+        new_keys = sorted(observed - set(registry))
+        if not new_keys:
+            return registry
+        updated = dict(registry)
+        for k in new_keys:
+            sample = (
+                batch.select(
+                    F.get_json_object(F.col("after_json"), f"$.{k}").alias("v")
+                )
+                .filter(F.col("v").isNotNull())
+                .limit(100)
+                .collect()
+            )
+            vals = [r[0] for r in sample]
+            if vals and all(_is_numeric(v) for v in vals):
+                updated[k] = "double"
+            else:
+                updated[k] = "string"
+        self.save_registry(updated)
+        return updated
+
+    # --------------------------------------------------------------- applier
+    def __call__(self, batch: DataFrame, batch_id: int) -> Snapshot | None:
+        last = self.table.last_committed_batch(self.app_id)
+        if last is not None and batch_id <= last:
+            self.skipped_batches.append(batch_id)
+            return None  # replayed batch already committed — exactly-once
+        batch = batch.persist()
+        try:
+            stats = batch.agg(
+                F.min("lsn").alias("lsn_min"),
+                F.max("lsn").alias("lsn_max"),
+                F.count(F.lit(1)).alias("event_count"),
+                F.expr("bit_xor(xxhash64(txn_id))").alias("txn_hash"),
+            ).first()
+            if stats["event_count"] == 0:
+                return None
+
+            registry = self.discover_new_fields(batch, self.load_registry())
+            payload_schema = _registry_to_schema(registry)
+            typed = normalize_changes(
+                batch, payload_schema, mode=self.normalize_mode
+            )
+            for name in _EPOCH_FIELDS & set(registry):
+                typed = typed.withColumn(name, F.timestamp_seconds(F.col(name)))
+
+            deduped = latest_per_key(
+                typed, KEY_COLS, salt_buckets=self.salt_buckets
+            )
+            lineage = {
+                "batch_id": int(batch_id),
+                "lsn_min": int(stats["lsn_min"]),
+                "lsn_max": int(stats["lsn_max"]),
+                "event_count": int(stats["event_count"]),
+                "txn_ids_hash": format(stats["txn_hash"] & ((1 << 64) - 1), "x"),
+                "snapshot_version": self.table.current_version() + 1,
+            }
+            snap, mstats = merge_into(
+                self.table,
+                deduped,
+                delete_mode=self.delete_mode,
+                order_guard=self.order_guard,
+                broadcast_batch=self.broadcast_batch,
+                txn_app_id=self.app_id,
+                txn_batch_id=int(batch_id),
+                lineage={
+                    **lineage,
+                    "snapshot_id": None,  # filled below from commit
+                    "committed_at_ms": None,
+                },
+            )
+            self.applied.append(mstats)
+            return snap
+        finally:
+            batch.unpersist()
+
+
+def _is_numeric(v: str) -> bool:
+    try:
+        float(v)
+        return True
+    except (TypeError, ValueError):
+        return False

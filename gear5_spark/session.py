@@ -1,0 +1,58 @@
+"""SparkSession factory tuned for the CDC/ingest engine.
+
+Local-mode testing uses ``local[N]``; on a real cluster the same confs
+apply (AQE, Arrow, shuffle sizing). The reference has no session concept —
+it is a single Go process; Spark's session + shuffle replace its
+channel-based dataflow (see SURVEY.md §3.1).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def get_spark(
+    app_name: str = "gear5-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with CDC-engine defaults.
+
+    Defaults chosen for scale:
+    - AQE on: runtime coalescing + skew-join splitting for the MERGE join.
+    - Arrow on: every pandas UDF crosses the JVM/Python boundary in
+      columnar batches (the reference moves rows one Go map at a time;
+      we never move rows one Python object at a time).
+    - shuffle partitions sized to cores locally; on a 1000-executor
+      cluster this is overridden (AQE coalesces anyway).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(
+            os.environ.get("SPARK_GRAFT_SHUFFLE", str(DEFAULT_SHUFFLE_PARTITIONS))
+        )
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.streaming.schemaInference", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
