@@ -1,38 +1,448 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: full CDC replay of a deterministic transcript
+change log into the lake table, returning the final state.
+
+``queries()`` / ``oracle_sql()`` — one entry per operator from SURVEY.md §2
+plus the training-data-pipeline operators (dedup / similarity / text
+analysis). Every SQL-expressible query has a DuckDB oracle; engine-native
+ops (LSH dedup, SimHash, CDC replay) are rows-only checks.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# --------------------------------------------------------------- flagship
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """CDC replay flagship on a deterministic embedded fixture + the
+    sf0.001 testdata smoke scan."""
+    return _cdc_replay(spark, "/root/testdata/sf0.001")
+
+
+def _cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generate a seeded 2k-event transcript change log, replay it through
+    the full engine (normalize -> dedup -> bucketed MERGE with lineage),
+    return the final transcripts table."""
+    import shutil
+    import tempfile
+
+    from gen_fixtures import generate_changelog
+    from gear5_spark.pipeline.runner import bootstrap_table, replay_batch
+
+    work = tempfile.mkdtemp(prefix="gear5-demo-")
+    try:
+        log_dir = os.path.join(work, "log")
+        generate_changelog(log_dir, n_events=2_000, n_convs=50, chunk_rows=500)
+        table = bootstrap_table(spark, os.path.join(work, "table"), n_buckets=8)
+        replay_batch(
+            spark, log_dir, table, checkpoint_dir=os.path.join(work, "ckpt")
+        )
+        df = table.read().orderBy("conv_id", "turn_idx")
+        # materialize before the temp dir disappears
+        out = spark.createDataFrame(df.collect(), df.schema)
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+# ------------------------------------------------------------ CDC operators
+
+
+def _q_snapshot_scan(spark, sf_dir):
+    # S1: full-refresh table scan of a keyed table
+    return _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+
+
+def _q_incremental_scan(spark, sf_dir):
+    # S2/P3: cursor predicate pushed into the parquet scan
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("ts") > F.lit("2024-01-15 00:00:00").cast("timestamp"))
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+
+
+def _q_cursor_state(spark, sf_dir):
+    # A1: running-max cursor fold
+    return _t(spark, sf_dir, "events").agg(
+        F.max("ts").alias("cursor_value"),
+        F.count(F.lit(1)).alias("record_count"),
+    )
+
+
+def _q_cursor_state_per_stream(spark, sf_dir):
+    # A1 per stream (types/state.go:64-70 per-stream cursor map)
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.max("ts").alias("cursor_value"),
+            F.count(F.lit(1)).alias("record_count"),
+        )
+    )
+
+
+def _q_latest_per_key(spark, sf_dir):
+    # A5: last event per key by (cursor, tiebreak) — the dedup window
+    w = W.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "ts")
+    )
+
+
+def _q_changelog_replay(spark, sf_dir):
+    # A5 + delete semantics: events as a change feed; 'error' = delete;
+    # final state = latest non-deleted row per key (last-write-wins fold)
+    w = W.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+            F.col("ts").alias("last_ts"),
+        )
+    )
+
+
+def _q_exclude_columns(spark, sf_dir):
+    # P2: ExcludeColumns (declared-but-TODO in reference) — column pruning
+    return _t(spark, sf_dir, "customer").drop("c_acctbal", "c_mktsegment", "c_nationkey")
+
+
+def _q_cdc_table_filter(spark, sf_dir):
+    # P4: drop changes for non-selected tables
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "view"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _q_recency_filter(spark, sf_dir):
+    # P6: drop records older than start date + daily counts
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("ts") >= F.lit("2024-01-20 00:00:00").cast("timestamp"))
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _q_json_extract_typed(spark, sf_dir):
+    # F8 + F2: JSON decode + int64 coercion
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+
+
+def _q_bool_coercion(spark, sf_dir):
+    # F1: bool from "yes"/"f"/"1"/"off" string forms (reformat.go:48-72)
+    from gear5_spark.operators.normalize import coerce_bool
+
+    raw = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.get_json_object("props", "$.k").cast("long") % 4 == 0, "yes")
+        .when(F.get_json_object("props", "$.k").cast("long") % 4 == 1, "f")
+        .when(F.get_json_object("props", "$.k").cast("long") % 4 == 2, "1")
+        .otherwise("off")
+        .alias("raw_flag"),
+    )
+    return raw.select("event_id", coerce_bool(F.col("raw_flag")).alias("flag"))
+
+
+def _q_timestamp_roundtrip(spark, sf_dir):
+    # F5: multi-layout timestamp parse (format -> parse via coalesce chain)
+    from gear5_spark.operators.normalize import coerce_timestamp
+
+    s = _t(spark, sf_dir, "events").select(
+        "event_id", F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("s")
+    )
+    return s.select("event_id", coerce_timestamp(F.col("s")).alias("parsed"))
+
+
+def _q_stream_id(spark, sf_dir):
+    # F11: namespace.name stream identifier
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(F.concat_ws(".", "source", "lang").alias("stream_id"))
+        .distinct()
+    )
+
+
+# ------------------------------------------- training-data pipeline operators
+
+
+def _q_exact_dedup(spark, sf_dir):
+    from gear5_spark.text.dedupe import exact_duplicates
+
+    return exact_duplicates(_t(spark, sf_dir, "documents"))
+
+
+def _q_token_count(spark, sf_dir):
+    from gear5_spark.text.quality import token_counts
+
+    return token_counts(_t(spark, sf_dir, "documents"))
+
+
+def _q_quality_score(spark, sf_dir):
+    from gear5_spark.text.quality import quality_scores
+
+    return quality_scores(_t(spark, sf_dir, "documents"))
+
+
+def _q_lang_id(spark, sf_dir):
+    from gear5_spark.text.quality import language_id
+
+    return language_id(_t(spark, sf_dir, "documents"))
+
+
+def _q_fingerprint(spark, sf_dir):
+    from gear5_spark.text.quality import fingerprints
+
+    return fingerprints(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "fingerprint"
+    )
+
+
+def _q_cosine_topk(spark, sf_dir):
+    from gear5_spark.sim.ann import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 20), k=3)
+
+
+def _q_embedding_norm(spark, sf_dir):
+    from gear5_spark.sim.ann import with_norms
+
+    return with_norms(_t(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.round("_norm", 6).alias("l2_norm")
+    )
+
+
+# ------------------------------------------------- engine-native (rows-only)
+
+
+def _q_minhash_lsh_pairs(spark, sf_dir):
+    from gear5_spark.text.dedupe import lsh_near_duplicates
+
+    return lsh_near_duplicates(_t(spark, sf_dir, "documents"))
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    from gear5_spark.text.dedupe import ngram_jaccard
+
+    return ngram_jaccard(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def _q_simhash_pairs(spark, sf_dir):
+    from gear5_spark.text.dedupe import simhash_near_duplicates
+
+    return simhash_near_duplicates(_t(spark, sf_dir, "documents"))
+
+
+def _q_lsh_cosine_topk(spark, sf_dir):
+    from gear5_spark.sim.ann import lsh_cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_cosine_topk(emb, emb.filter(F.col("vec_id") < 20), k=3)
+
+
+def _q_cdc_replay(spark, sf_dir):
+    return _cdc_replay(spark, sf_dir)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "snapshot_scan": _q_snapshot_scan,
+        "incremental_scan": _q_incremental_scan,
+        "cursor_state": _q_cursor_state,
+        "cursor_state_per_stream": _q_cursor_state_per_stream,
+        "latest_per_key": _q_latest_per_key,
+        "changelog_replay": _q_changelog_replay,
+        "exclude_columns": _q_exclude_columns,
+        "cdc_table_filter": _q_cdc_table_filter,
+        "recency_filter": _q_recency_filter,
+        "json_extract_typed": _q_json_extract_typed,
+        "bool_coercion": _q_bool_coercion,
+        "timestamp_roundtrip": _q_timestamp_roundtrip,
+        "stream_id": _q_stream_id,
+        "exact_dedup": _q_exact_dedup,
+        "token_count": _q_token_count,
+        "quality_score": _q_quality_score,
+        "lang_id": _q_lang_id,
+        "fingerprint": _q_fingerprint,
+        "cosine_topk": _q_cosine_topk,
+        "embedding_norm": _q_embedding_norm,
+        "minhash_lsh_pairs": _q_minhash_lsh_pairs,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "simhash_pairs": _q_simhash_pairs,
+        "lsh_cosine_topk": _q_lsh_cosine_topk,
+        "cdc_replay": _q_cdc_replay,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_STOPWORDS_SQL = (
+    "['the','a','an','and','or','of','to','in','is','it',"
+    "'for','on','with','as','at','by']"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "snapshot_scan": (
+            "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment "
+            "FROM customer"
+        ),
+        "incremental_scan": (
+            "SELECT event_id, ts, user_id, event_type, value FROM events "
+            "WHERE ts > TIMESTAMP '2024-01-15 00:00:00'"
+        ),
+        "cursor_state": (
+            "SELECT max(ts) AS cursor_value, count(*) AS record_count "
+            "FROM events"
+        ),
+        "cursor_state_per_stream": (
+            "SELECT event_type, max(ts) AS cursor_value, "
+            "count(*) AS record_count FROM events GROUP BY event_type"
+        ),
+        "latest_per_key": (
+            "SELECT user_id, event_id, event_type, ts FROM events "
+            "QUALIFY row_number() OVER "
+            "(PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1"
+        ),
+        "changelog_replay": (
+            "WITH ranked AS (SELECT user_id, event_id, event_type, ts, "
+            "row_number() OVER (PARTITION BY user_id "
+            "ORDER BY ts DESC, event_id DESC) AS rn FROM events) "
+            "SELECT user_id, event_id AS last_event_id, "
+            "event_type AS last_event_type, ts AS last_ts "
+            "FROM ranked WHERE rn = 1 AND event_type <> 'error'"
+        ),
+        "exclude_columns": "SELECT c_custkey, c_name FROM customer",
+        "cdc_table_filter": (
+            "SELECT event_type, count(*) AS n FROM events "
+            "WHERE event_type IN ('click','view') GROUP BY event_type"
+        ),
+        "recency_filter": (
+            "SELECT CAST(ts AS DATE) AS day, count(*) AS n FROM events "
+            "WHERE ts >= TIMESTAMP '2024-01-20 00:00:00' GROUP BY 1"
+        ),
+        "json_extract_typed": (
+            "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT)"
+            " AS k FROM events"
+        ),
+        "bool_coercion": (
+            "WITH raw AS (SELECT event_id, CASE "
+            "WHEN CAST(json_extract_string(props,'$.k') AS BIGINT) % 4 = 0 "
+            "THEN 'yes' "
+            "WHEN CAST(json_extract_string(props,'$.k') AS BIGINT) % 4 = 1 "
+            "THEN 'f' "
+            "WHEN CAST(json_extract_string(props,'$.k') AS BIGINT) % 4 = 2 "
+            "THEN '1' ELSE 'off' END AS raw_flag FROM events) "
+            "SELECT event_id, CASE "
+            "WHEN lower(trim(raw_flag)) IN ('1','t','true','y','yes','on') "
+            "THEN TRUE "
+            "WHEN lower(trim(raw_flag)) IN ('0','f','false','n','no','off') "
+            "THEN FALSE ELSE NULL END AS flag FROM raw"
+        ),
+        "timestamp_roundtrip": (
+            "SELECT event_id, strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'), "
+            "'%Y-%m-%d %H:%M:%S') AS parsed FROM events"
+        ),
+        "stream_id": (
+            "SELECT DISTINCT source || '.' || lang AS stream_id FROM documents"
+        ),
+        "exact_dedup": (
+            "SELECT md5(lower(trim(text))) AS fingerprint, "
+            "min(doc_id) AS keep_doc_id, count(*) AS dup_count "
+            "FROM documents GROUP BY 1"
+        ),
+        "token_count": (
+            "SELECT doc_id, "
+            "len(string_split_regex(trim(lower(text)), '\\s+')) AS n_tokens, "
+            "len(list_distinct(string_split_regex(trim(lower(text)), '\\s+')))"
+            " AS n_distinct_tokens, "
+            "round(len(list_distinct(string_split_regex(trim(lower(text)), "
+            "'\\s+'))) / len(string_split_regex(trim(lower(text)), '\\s+')), 6)"
+            " AS type_token_ratio FROM documents"
+        ),
+        "quality_score": (
+            "WITH t AS (SELECT doc_id, text, "
+            "string_split_regex(trim(lower(text)), '\\s+') AS toks "
+            "FROM documents) "
+            "SELECT doc_id, length(text) AS n_chars_measured, "
+            "len(toks) AS n_tokens, "
+            "round(length(regexp_replace(text, '\\s+', '', 'g')) / len(toks), 6)"
+            " AS mean_token_len, "
+            f"round(len(list_filter(toks, x -> list_contains({_STOPWORDS_SQL}, x)))"
+            " / len(toks), 6) AS stopword_ratio FROM t"
+        ),
+        "lang_id": (
+            "WITH t AS (SELECT doc_id, "
+            "string_split_regex(trim(lower(text)), '\\s+') AS toks "
+            "FROM documents), h AS (SELECT doc_id, "
+            "len(list_filter(toks, x -> list_contains(['der','die','und','das'], x))) AS h_de, "
+            "len(list_filter(toks, x -> list_contains(['the','and','of','a'], x))) AS h_en, "
+            "len(list_filter(toks, x -> list_contains(['el','la','los','de'], x))) AS h_es, "
+            "len(list_filter(toks, x -> list_contains(['le','les','des','une'], x))) AS h_fr "
+            "FROM t) SELECT doc_id, "
+            "CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und' "
+            "WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de' "
+            "WHEN h_en >= h_es AND h_en >= h_fr THEN 'en' "
+            "WHEN h_es >= h_fr THEN 'es' ELSE 'fr' END AS lang_guess, "
+            "greatest(h_de, h_en, h_es, h_fr) AS marker_hits FROM h"
+        ),
+        "fingerprint": (
+            "SELECT doc_id, md5(lower(trim(text))) AS fingerprint "
+            "FROM documents"
+        ),
+        "cosine_topk": (
+            "WITH q AS (SELECT vec_id AS q_id, "
+            "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q_vec "
+            "FROM embeddings WHERE vec_id < 20), "
+            "scored AS (SELECT q.q_id AS vec_id, b.vec_id AS neighbor_id, "
+            "list_cosine_similarity(q.q_vec, "
+            "list_transform(b.embedding, x -> CAST(x AS DOUBLE))) AS cos "
+            "FROM q, embeddings b WHERE b.vec_id <> q.q_id) "
+            "SELECT vec_id, neighbor_id, "
+            "row_number() OVER (PARTITION BY vec_id "
+            "ORDER BY cos DESC, neighbor_id ASC) AS rnk, "
+            "round(cos, 6) AS cosine FROM scored "
+            "QUALIFY rnk <= 3"
+        ),
+        "embedding_norm": (
+            "SELECT vec_id, round(sqrt(list_aggregate("
+            "list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+            "'sum')), 6) AS l2_norm FROM embeddings"
+        ),
+        # minhash_lsh_pairs / ngram_jaccard / simhash_pairs /
+        # lsh_cosine_topk / cdc_replay: engine-native (hash-family- and
+        # engine-specific) — rows-only checks by design.
+    }

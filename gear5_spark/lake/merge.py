@@ -114,7 +114,10 @@ def merge_into(
         list(evolved.fields) + [T.StructField(BUCKET_COL, T.IntegerType(), True)]
     )
 
-    keyed = batch.withColumn(BUCKET_COL, table.bucket_expr(snap))
+    # persist: the deduped batch feeds both the affected-bucket probe and
+    # the merge join — without it the whole upstream (parse+dedup shuffle)
+    # would execute twice
+    keyed = batch.withColumn(BUCKET_COL, table.bucket_expr(snap)).persist()
     affected = sorted(r[0] for r in keyed.select(BUCKET_COL).distinct().collect())
     target = table.read(snapshot=snap, buckets=affected, with_internal=True)
 
@@ -136,7 +139,10 @@ def merge_into(
             _project(upserts, write_schema)
         )
 
-    _, new_entries = table.write_data_files(new_data)
+    try:
+        _, new_entries = table.write_data_files(new_data)
+    finally:
+        keyed.unpersist()
     kept = [f for f in snap.files if f["bucket"] not in set(affected)]
     new_snap = table.commit(
         files=kept + new_entries,

@@ -256,8 +256,13 @@ class LakeTable:
         commit = commit_token or f"c-{uuid.uuid4().hex}"
         rel_dir = os.path.join(DATA_DIR, commit)
         out_dir = os.path.join(self.table_dir, rel_dir)
+        n_buckets = self.snapshot().properties.get("n_buckets", 16)
         (
+            # repartition on the bucket id first: each task then holds few
+            # bucket values, so partitionBy emits O(n_buckets) files instead
+            # of O(tasks x n_buckets) shards
             df.withColumn(PART_COL, F.col(BUCKET_COL))
+            .repartition(n_buckets, F.col(PART_COL))
             .write.partitionBy(PART_COL)
             .mode("errorifexists")
             .parquet(out_dir)

@@ -81,24 +81,28 @@ class TranscriptsApplier:
     def discover_new_fields(
         self, batch: DataFrame, registry: dict[str, str]
     ) -> dict[str, str]:
-        """Additive payload-key discovery, entirely JVM-side.
+        """Additive payload-key discovery, entirely JVM-side (standalone
+        variant — the hot path folds key collection into the stats pass,
+        see :meth:`__call__`)."""
+        keys_row = batch.agg(
+            F.array_distinct(
+                F.flatten(F.collect_set(F.json_object_keys("after_json")))
+            ).alias("keys")
+        ).first()
+        return self.extend_registry(batch, set(keys_row["keys"] or []), registry)
+
+    def extend_registry(
+        self, batch: DataFrame, observed: set[str], registry: dict[str, str]
+    ) -> dict[str, str]:
+        """Type newly-observed payload keys and persist the extended
+        registry.
 
         ≈ the reference's 100-record sampling inference
         (``protocol/discover.go:46-90``) but per micro-batch: unknown JSON
         keys are typed by sampling values (numeric -> double, else string —
         the widening-lattice-safe choice, ``typeutils/datatype.go:12-40``).
+        The sampling scan only runs when a genuinely new key shows up.
         """
-        keys_df = (
-            batch.select(
-                F.explode(
-                    F.map_keys(
-                        F.from_json(F.col("after_json"), "map<string,string>")
-                    )
-                ).alias("k")
-            )
-            .distinct()
-        )
-        observed = {r[0] for r in keys_df.collect()}
         new_keys = sorted(observed - set(registry))
         if not new_keys:
             return registry
@@ -128,16 +132,25 @@ class TranscriptsApplier:
             return None  # replayed batch already committed — exactly-once
         batch = batch.persist()
         try:
+            # ONE stats pass: lsn range, count, txn-set hash AND payload-key
+            # discovery (collect_set over the per-row key arrays collapses
+            # to the few distinct key *shapes*, so the driver-side result
+            # is tiny even at 10^10 events)
             stats = batch.agg(
                 F.min("lsn").alias("lsn_min"),
                 F.max("lsn").alias("lsn_max"),
                 F.count(F.lit(1)).alias("event_count"),
                 F.expr("bit_xor(xxhash64(txn_id))").alias("txn_hash"),
+                F.array_distinct(
+                    F.flatten(F.collect_set(F.json_object_keys("after_json")))
+                ).alias("payload_keys"),
             ).first()
             if stats["event_count"] == 0:
                 return None
 
-            registry = self.discover_new_fields(batch, self.load_registry())
+            registry = self.extend_registry(
+                batch, set(stats["payload_keys"] or []), self.load_registry()
+            )
             payload_schema = _registry_to_schema(registry)
             typed = normalize_changes(
                 batch, payload_schema, mode=self.normalize_mode

@@ -90,6 +90,7 @@ def replay_batch(
     checkpoint_dir: str,
     app_id: str = "transcripts-bulk",
     min_lsn: int | None = None,
+    max_lsn: int | None = None,
     salt_buckets: int = 1,
     normalize_mode: str = "sql",
     order_guard: bool = False,
@@ -107,8 +108,9 @@ def replay_batch(
         normalize_mode=normalize_mode,
         order_guard=order_guard,
     )
-    changes = read_changelog(spark, changelog_dir, min_lsn=min_lsn)
-    next_batch = (table.last_committed_batch(app_id) or -1) + 1
+    changes = read_changelog(spark, changelog_dir, min_lsn=min_lsn, max_lsn=max_lsn)
+    last = table.last_committed_batch(app_id)
+    next_batch = (last if last is not None else -1) + 1
     applier(changes, next_batch)
     return table
 

@@ -1,0 +1,149 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the correctness baseline, plus an LSH-bucketed
+(random-hyperplane / sign-LSH) variant as the scale path: at 10^9 vectors
+the brute force is a cross join (O(Q x N)) — bucketing reduces each query
+to its candidate buckets, an equi-join.
+
+Dot products run JVM-side via ``F.zip_with`` + ``F.aggregate`` (no Python).
+The hyperplanes for LSH are generated deterministically from a seed with
+``xxhash64`` — no RNG state, reproducible across runs/executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def with_norms(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    return emb.withColumn("_norm", _norm(F.col(vec_col)))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Brute-force cosine top-k: every query against every base vector.
+
+    Output: (vec_id, neighbor_id, rnk, cosine). The join is a broadcast
+    of the (small) query side against the (large) base side, so the base
+    table streams through once — at scale, broadcast queries and scan the
+    base partition-parallel; no shuffle of the base vectors."""
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    b = emb.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"))
+    scored = b.join(F.broadcast(q), F.col("q_id") != F.col("b_id")).select(
+        F.col("q_id").alias("vec_id"),
+        F.col("b_id").alias("neighbor_id"),
+        (
+            _dot(F.col("q_vec"), F.col("b_vec"))
+            / (_norm(F.col("q_vec")) * _norm(F.col("b_vec")))
+        ).alias("cosine"),
+    )
+    w = W.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("vec_id", "neighbor_id", "rnk", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def _hyperplane(dim: int, plane: int, seed: int = 7):
+    """Deterministic pseudo-random hyperplane: component j of plane p is
+    a signed value derived from xxhash64(p, j, seed) — uniform in [-1,1)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: (
+            F.xxhash64(F.lit(plane), j, F.lit(seed)).cast("double")
+            / F.lit(float(1 << 63))
+        ),
+    )
+
+
+def sign_lsh_buckets(
+    emb: DataFrame,
+    n_planes: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """Random-hyperplane (sign) LSH bucket id per vector: bit p of the
+    bucket = sign(v . h_p). Cosine-similar vectors collide with high
+    probability."""
+    bits = [
+        F.when(_dot(F.col(vec_col), _hyperplane(dim, p, seed)) >= 0, F.lit(1 << p))
+        .otherwise(F.lit(0))
+        .cast("long")
+        for p in range(n_planes)
+    ]
+    bucket = bits[0]
+    for b in bits[1:]:
+        bucket = bucket.bitwiseOR(b)
+    return emb.withColumn("lsh_bucket", bucket)
+
+
+def lsh_cosine_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_planes: int = 6,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket,
+    then exact cosine rank within candidates. The bucket equi-join
+    replaces the cross join — this is the 10^9-vector path."""
+    base = sign_lsh_buckets(emb, n_planes, dim, vec_col)
+    qb = sign_lsh_buckets(queries, n_planes, dim, vec_col).select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        "lsh_bucket",
+    )
+    b = base.select(
+        F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"), "lsh_bucket"
+    )
+    scored = b.join(
+        F.broadcast(qb), ["lsh_bucket"]
+    ).filter(F.col("q_id") != F.col("b_id")).select(
+        F.col("q_id").alias("vec_id"),
+        F.col("b_id").alias("neighbor_id"),
+        (
+            _dot(F.col("q_vec"), F.col("b_vec"))
+            / (_norm(F.col("q_vec")) * _norm(F.col("b_vec")))
+        ).alias("cosine"),
+    )
+    w = W.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("vec_id", "neighbor_id", "rnk", F.round("cosine", 6).alias("cosine"))
+    )

@@ -37,17 +37,25 @@ CHANGE_SCHEMA = T.StructType(
 
 
 def read_changelog(
-    spark: SparkSession, changelog_dir: str, min_lsn: int | None = None
+    spark: SparkSession,
+    changelog_dir: str,
+    min_lsn: int | None = None,
+    max_lsn: int | None = None,
 ) -> DataFrame:
     """Batch read of the change feed; ``min_lsn`` is the cursor predicate
-    (SURVEY.md P3) — Catalyst pushes it into the parquet scan."""
-    df = spark.read.schema(CHANGE_SCHEMA).parquet(
-        f"{changelog_dir}/chunk-*.parquet"
+    (SURVEY.md P3) — Catalyst pushes it into the parquet scan.
+    ``max_lsn`` (inclusive) bounds a phased replay."""
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.read.schema(CHANGE_SCHEMA)
+        .option("pathGlobFilter", "chunk-*.parquet")
+        .parquet(changelog_dir)
     )
     if min_lsn is not None:
-        from pyspark.sql import functions as F
-
         df = df.filter(F.col("lsn") > F.lit(min_lsn))
+    if max_lsn is not None:
+        df = df.filter(F.col("lsn") <= F.lit(max_lsn))
     return df
 
 

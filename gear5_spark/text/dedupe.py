@@ -1,0 +1,249 @@
+"""Document deduplication operators for large-scale training-data pipelines.
+
+The reference has no text operators — these are the scale-path additions a
+100 TB ingest engine needs (exact, MinHash+LSH, SimHash, n-gram Jaccard).
+All are expressed over the ``documents`` table ``(doc_id, text, lang,
+source, n_chars)``; everything stays JVM-side (built-in array/hash
+functions) except where noted.
+
+Scale notes:
+- exact dedup: one shuffle on the fingerprint (groupBy), map-side combine.
+- MinHash+LSH: shingles -> K minhashes via ``xxhash64(shingle, seed_k)``
+  -> B bands of R rows -> candidate pairs join on (band, band_hash). The
+  only joins are equi-joins on band buckets, never an O(n²) cross join.
+- SimHash: 64-bit signature; near-dup candidates share a signature under
+  bit-sampling bands (same LSH trick on 4×16-bit chunks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def normalized_text(col=None):
+    return F.lower(F.trim(F.col("text") if col is None else col))
+
+
+def exact_duplicates(docs: DataFrame) -> DataFrame:
+    """Exact dedup: keep the min doc_id per normalized-text fingerprint;
+    report group size. One hash-shuffle, partial-aggregated."""
+    return (
+        docs.groupBy(F.md5(normalized_text()).alias("fingerprint"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .orderBy("keep_doc_id")
+    )
+
+
+def shingles(col, n: int = 3):
+    """Word n-gram shingle array (distinct), built with JVM array functions:
+    tokens[i:i+n] joined — no Python in the loop."""
+    tokens = F.split(normalized_text(col), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(tokens) - n, F.lit(0)))
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)),
+        )
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, num_hashes: int = 32, shingle_n: int = 3
+) -> DataFrame:
+    """K minhash values per doc: min over shingles of xxhash64(shingle, k).
+
+    ``xxhash64`` with a per-k seed column is the hash family; all K mins
+    are computed in one pass over the shingle array with ``transform`` +
+    ``array_min`` (columnar, codegen'd)."""
+    sh = docs.select(
+        "doc_id", F.explode(shingles(F.col("text"), shingle_n)).alias("s")
+    )
+    # explode + groupBy keeps codegen flat (K independent min aggregates
+    # with map-side combine) instead of one enormous nested array lambda
+    agg = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64("s", F.lit(k))).alias(f"mh_{k}")
+            for k in range(num_hashes)
+        ]
+    )
+    return agg.select(
+        "doc_id",
+        F.array(*[F.col(f"mh_{k}") for k in range(num_hashes)]).alias("minhash"),
+    )
+
+
+def lsh_near_duplicates(
+    docs: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: docs sharing any band bucket.
+
+    rows-per-band R = num_hashes / bands; larger R = stricter. Returns
+    (doc_id_a, doc_id_b) with a < b, distinct. The band join is an
+    equi-join on (band_idx, band_hash) — shuffle is proportional to docs,
+    and bucket-local pair expansion is bounded by bucket size."""
+    r = num_hashes // bands
+    sigs = minhash_signatures(docs, num_hashes, shingle_n)
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("minhash", b * r + i + 1).cast(
+                                        "string"
+                                    )
+                                    for i in range(r)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard(
+    docs: DataFrame,
+    candidates: DataFrame | None = None,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs (default:
+    LSH candidates — never all-pairs). ``array_intersect``/``array_union``
+    on shingle arrays, JVM-side."""
+    if candidates is None:
+        candidates = lsh_near_duplicates(docs, shingle_n=shingle_n)
+    sh = docs.select("doc_id", shingles(F.col("text"), shingle_n).alias("sh"))
+    j = (
+        candidates.join(
+            sh.withColumnRenamed("doc_id", "doc_id_a").withColumnRenamed(
+                "sh", "sh_a"
+            ),
+            "doc_id_a",
+        )
+        .join(
+            sh.withColumnRenamed("doc_id", "doc_id_b").withColumnRenamed(
+                "sh", "sh_b"
+            ),
+            "doc_id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_id_a", "doc_id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return j
+
+
+def simhash(docs: DataFrame, shingle_n: int = 2) -> DataFrame:
+    """64-bit SimHash per document from shingle hashes.
+
+    For each bit position, sum(+1/-1 over shingles by bit) >= 0 -> bit set.
+    Entirely with array/bit built-ins: aggregate over the shingle array
+    accumulating a 64-slot vote vector."""
+    sh = docs.select(
+        "doc_id", F.explode(shingles(F.col("text"), shingle_n)).alias("s")
+    ).withColumn("h", F.xxhash64("s"))
+    # per-bit +1/-1 votes as 64 independent sum aggregates over the
+    # exploded shingles — flat codegen, map-side partial aggregation
+    votes = sh.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                ).otherwise(F.lit(-1))
+            ).alias(f"v_{b}")
+            for b in range(64)
+        ]
+    )
+    sig_bits = [
+        F.when(F.col(f"v_{b}") >= 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        for b in range(63)
+    ]
+    # bit 63 would overflow a positive long literal; use the negative
+    # two's-complement literal for the sign bit
+    sig_bits.append(
+        F.when(F.col("v_63") >= 0, F.lit(-(1 << 63)).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    )
+    sig = sig_bits[0]
+    for bcol in sig_bits[1:]:
+        sig = sig.bitwiseOR(bcol)
+    return votes.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_near_duplicates(docs: DataFrame, shingle_n: int = 2) -> DataFrame:
+    """SimHash near-dup candidates: equal 16-bit quarter bands (LSH over
+    bit chunks), then exact hamming distance <= 3 filter via bit_count."""
+    sigs = simhash(docs, shingle_n)
+    banded = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(q).alias("band"),
+                        F.shiftright("simhash", q * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk"),
+                    )
+                    for q in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.chunk")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= 3)
+    )
