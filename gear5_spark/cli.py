@@ -1,0 +1,200 @@
+"""CLI — the engine's spec/check/discover/read lifecycle.
+
+Mirrors the reference's cobra subcommands (``/root/reference/protocol/
+root.go:71-78``: ``spec check discover read`` with ``--config/--state``)
+as ``python -m gear5_spark <cmd>``:
+
+- ``spec``      print the config JSON schema (≈ protocol/spec.go:26-77)
+- ``check``     validate config + source/table connectivity, emit a
+                CONNECTION_STATUS-style JSON line (≈ protocol/check.go)
+- ``discover``  sample the change feed, print the catalog: target schema +
+                discovered payload fields (≈ protocol/discover.go:46-90)
+- ``read``      run the pipeline — bulk replay or streaming tail
+                (≈ protocol/read.go)
+- ``state``     print the table's txn ledger + lineage (the reference's
+                STATE messages, queryable after the fact)
+
+All output is one JSON document per command on stdout (the reference's
+message protocol, types/catalog.go:11-20, minus the per-record stream —
+records land in the lake table, not stdout).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark():
+    from gear5_spark.session import get_spark
+
+    return get_spark(app_name="gear5-cli")
+
+
+def cmd_spec(_args) -> int:
+    from gear5_spark.config import config_spec
+
+    print(json.dumps({"type": "SPEC", "spec": config_spec()}, indent=2))
+    return 0
+
+
+def cmd_check(args) -> int:
+    from gear5_spark.config import PipelineConfig
+
+    try:
+        cfg = PipelineConfig.from_file(args.config)
+    except (OSError, ValueError, TypeError) as e:
+        print(json.dumps({"type": "CONNECTION_STATUS", "status": "FAILED",
+                          "message": f"config: {e}"}))
+        return 1
+    problems = cfg.validate()
+    if not problems:
+        try:
+            spark = _spark()
+            from gear5_spark.sources.changelog import read_changelog
+
+            n = read_changelog(spark, cfg.changelog_dir).limit(1).count()
+            if n == 0:
+                problems.append("changelog is empty")
+        except Exception as e:
+            problems.append(f"changelog unreadable: {e}")
+    status = "SUCCEEDED" if not problems else "FAILED"
+    print(json.dumps({"type": "CONNECTION_STATUS", "status": status,
+                      "message": "; ".join(problems)}))
+    return 0 if not problems else 1
+
+
+def cmd_discover(args) -> int:
+    from gear5_spark.config import PipelineConfig
+    from gear5_spark.pipeline.apply import BASE_PAYLOAD, KEY_COLS
+    from gear5_spark.pipeline.runner import TRANSCRIPTS_SCHEMA
+    from gear5_spark.sources.changelog import read_changelog
+
+    cfg = PipelineConfig.from_file(args.config)
+    spark = _spark()
+    from pyspark.sql import functions as F
+
+    # sample payload keys (≈ 100-record sampling, protocol/discover.go:46)
+    sample = read_changelog(spark, cfg.changelog_dir).limit(args.sample)
+    row = sample.agg(
+        F.array_distinct(
+            F.flatten(F.collect_set(F.json_object_keys("after_json")))
+        ).alias("keys"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    catalog = {
+        "type": "CATALOG",
+        "streams": [
+            {
+                "name": "transcripts",
+                "namespace": "gear5",
+                "supported_sync_modes": ["full_refresh", "cdc"],
+                "source_defined_primary_key": KEY_COLS,
+                "cursor_field": "_cdc_lsn",
+                "schema": {
+                    f.name: f.dataType.simpleString()
+                    for f in TRANSCRIPTS_SCHEMA.fields
+                },
+                "payload_fields_observed": sorted(row["keys"] or []),
+                "payload_fields_known": sorted(BASE_PAYLOAD),
+                "sampled_records": row["n"],
+            }
+        ],
+    }
+    print(json.dumps(catalog, indent=2))
+    return 0
+
+
+def cmd_read(args) -> int:
+    import time
+
+    from gear5_spark.config import PipelineConfig
+    from gear5_spark.pipeline.runner import (
+        bootstrap_table,
+        make_applier,
+        replay_batch,
+        run_stream,
+    )
+
+    cfg = PipelineConfig.from_file(args.config)
+    problems = cfg.validate()
+    if problems:
+        print(json.dumps({"type": "LOG", "level": "ERROR",
+                          "message": "; ".join(problems)}))
+        return 1
+    spark = _spark()
+    table = bootstrap_table(spark, cfg.table_dir, n_buckets=cfg.n_buckets)
+    t0 = time.perf_counter()
+    if cfg.mode == "bulk":
+        replay_batch(
+            spark, cfg.changelog_dir, table, cfg.checkpoint_dir,
+            app_id=cfg.app_id, salt_buckets=cfg.salt_buckets,
+            normalize_mode=cfg.normalize_mode,
+        )
+    else:
+        applier = make_applier(
+            table, cfg.checkpoint_dir, app_id=cfg.app_id,
+            delete_mode=cfg.delete_mode, normalize_mode=cfg.normalize_mode,
+            salt_buckets=cfg.salt_buckets,
+        )
+        run_stream(
+            spark, cfg.changelog_dir, table, cfg.checkpoint_dir,
+            app_id=cfg.app_id,
+            max_files_per_trigger=cfg.max_files_per_trigger,
+            applier=applier, timeout_sec=args.timeout,
+        )
+    elapsed = time.perf_counter() - t0
+    print(json.dumps({
+        "type": "STATE",
+        "rows": table.read().count(),
+        "snapshot_version": table.current_version(),
+        "elapsed_sec": round(elapsed, 3),
+    }))
+    return 0
+
+
+def cmd_state(args) -> int:
+    from gear5_spark.lake.table import LakeTable
+
+    spark = _spark()
+    table = LakeTable(spark, args.table_dir)
+    snap = table.snapshot()
+    print(json.dumps({
+        "type": "STATE",
+        "snapshot_version": snap.version,
+        "snapshot_id": snap.snapshot_id,
+        "txn": snap.txn,
+        "schema": {f.name: f.dataType.simpleString() for f in snap.schema.fields},
+        "files": len(snap.files),
+        "lineage_tail": snap.lineage[-5:],
+    }, indent=2))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="gear5_spark", description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    sub.add_parser("spec")
+    p = sub.add_parser("check")
+    p.add_argument("--config", required=True)
+    p = sub.add_parser("discover")
+    p.add_argument("--config", required=True)
+    p.add_argument("--sample", type=int, default=100)
+    p = sub.add_parser("read")
+    p.add_argument("--config", required=True)
+    p.add_argument("--timeout", type=float, default=None)
+    p = sub.add_parser("state")
+    p.add_argument("--table-dir", required=True)
+    args = ap.parse_args(argv)
+    return {
+        "spec": cmd_spec,
+        "check": cmd_check,
+        "discover": cmd_discover,
+        "read": cmd_read,
+        "state": cmd_state,
+    }[args.cmd](args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

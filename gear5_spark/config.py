@@ -1,0 +1,108 @@
+"""Pipeline configuration: the engine's spec/check surface.
+
+The reference auto-generates JSON-schema for connector configs from Go
+struct tags (``/root/reference/jsonschema/generator/generator.go``) and
+validates them at startup (``utils/validation.go:37-41``,
+``protocol/root.go:75-78`` flags). Python-side a dataclass + a hand-rolled
+JSON schema does the same job with no reflection machinery.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import asdict, dataclass, field, fields
+
+
+@dataclass
+class PipelineConfig:
+    """Config for one transcripts CDC pipeline (≈ driver config +
+    ConfiguredStream in one: the engine has exactly one stream shape)."""
+
+    changelog_dir: str
+    table_dir: str
+    checkpoint_dir: str
+    mode: str = "stream"  # stream | bulk
+    n_buckets: int = 16
+    delete_mode: str = "hard"  # hard | soft
+    normalize_mode: str = "sql"  # sql | pandas
+    salt_buckets: int = 1
+    max_files_per_trigger: int = 4
+    app_id: str = "transcripts-cdc"
+    exclude_columns: list[str] = field(default_factory=list)
+
+    @classmethod
+    def from_file(cls, path: str) -> "PipelineConfig":
+        with open(path) as fh:
+            return cls.from_dict(json.load(fh))
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "PipelineConfig":
+        known = {f.name for f in fields(cls)}
+        unknown = set(d) - known
+        if unknown:
+            raise ValueError(f"unknown config keys: {sorted(unknown)}")
+        return cls(**d)
+
+    def validate(self) -> list[str]:
+        """Returns problems (empty = ok) — the `check` half that needs no
+        Spark session."""
+        problems = []
+        if self.mode not in ("stream", "bulk"):
+            problems.append(f"mode must be stream|bulk, got {self.mode}")
+        if self.delete_mode not in ("hard", "soft"):
+            problems.append(
+                f"delete_mode must be hard|soft, got {self.delete_mode}"
+            )
+        if self.normalize_mode not in ("sql", "pandas"):
+            problems.append(
+                f"normalize_mode must be sql|pandas, got {self.normalize_mode}"
+            )
+        if self.n_buckets < 1:
+            problems.append("n_buckets must be >= 1")
+        if self.salt_buckets < 1:
+            problems.append("salt_buckets must be >= 1")
+        if self.max_files_per_trigger < 1:
+            problems.append("max_files_per_trigger must be >= 1")
+        if not os.path.isdir(self.changelog_dir):
+            problems.append(f"changelog_dir not found: {self.changelog_dir}")
+        for k in ("conv_id", "turn_idx"):
+            if k in self.exclude_columns:
+                problems.append(f"cannot exclude key column {k}")
+        return problems
+
+    def to_dict(self) -> dict:
+        return asdict(self)
+
+
+_TYPE_MAP = {str: "string", int: "integer", bool: "boolean"}
+
+
+def config_spec() -> dict:
+    """JSON-schema for PipelineConfig (the `spec` command output,
+    ≈ protocol/spec.go:26-77)."""
+    props = {}
+    required = []
+    for f in fields(PipelineConfig):
+        if f.type in ("str", "int", "bool"):
+            jt = {"str": "string", "int": "integer", "bool": "boolean"}[f.type]
+            entry: dict = {"type": jt}
+        else:
+            entry = {"type": "array", "items": {"type": "string"}}
+        from dataclasses import MISSING
+
+        if f.default is not MISSING:
+            entry["default"] = f.default
+        elif f.default_factory is not MISSING:  # type: ignore[misc]
+            entry["default"] = f.default_factory()  # type: ignore[misc]
+        else:
+            required.append(f.name)
+        props[f.name] = entry
+    return {
+        "$schema": "https://json-schema.org/draft/2020-12/schema",
+        "title": "Gear5-Spark transcripts CDC pipeline config",
+        "type": "object",
+        "properties": props,
+        "required": required,
+        "additionalProperties": False,
+    }

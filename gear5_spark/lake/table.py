@@ -331,9 +331,18 @@ class LakeTable:
         return self.snapshot().txn.get(txn_app_id)
 
     def overwrite(self, df: DataFrame, schema: T.StructType | None = None) -> Snapshot:
-        """Replace all table data (used by snapshot/full-refresh load, S1/S5)."""
+        """Replace all table data (used by snapshot/full-refresh load, S1/S5).
+        Projects to the table schema (missing columns null-backfilled)."""
         snap = self.snapshot()
-        data = df.withColumn(BUCKET_COL, self.bucket_expr(snap))
+        target = schema or snap.schema
+        have = set(df.columns)
+        cols = [
+            F.col(f.name).cast(f.dataType).alias(f.name)
+            if f.name in have
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in target.fields
+        ]
+        data = df.select(*cols).withColumn(BUCKET_COL, self.bucket_expr(snap))
         _, entries = self.write_data_files(data)
         return self.commit(entries, schema=schema)
 

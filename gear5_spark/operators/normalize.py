@@ -60,9 +60,13 @@ def coerce_bool(col: Column) -> Column:
 
 
 def coerce_long(col: Column) -> Column:
-    """F2: int64 from any width / numeric string / float truncation."""
+    """F2: int64 from any width / numeric string / float truncation;
+    try_cast throughout so malformed input degrades to NULL instead of
+    failing the task under ANSI mode (reference errors per value,
+    reformat.go:190-219 — NULL is our columnar equivalent)."""
     return F.coalesce(
-        col.cast("long"), col.cast("string").try_cast("double").cast("long")
+        col.try_cast("long"),
+        col.cast("string").try_cast("double").try_cast("long"),
     )
 
 

@@ -68,6 +68,32 @@ def bootstrap_table(
     )
 
 
+def snapshot_load(
+    spark: SparkSession,
+    snapshot_df,
+    table: LakeTable,
+    lsn: int = 0,
+) -> LakeTable:
+    """Phase-0 initial snapshot before CDC (S5, pkg/waljs/waljs.go:261-330):
+    bulk-load a consistent snapshot of the source table, stamping every row
+    as an insert at the snapshot LSN. The CDC stream then starts from
+    offset 0; replayed events at lsn >= snapshot lsn win via the merge
+    order-guard, so snapshot->stream handoff needs no coordination."""
+    from pyspark.sql import functions as F
+
+    stamped = (
+        snapshot_df.withColumn(CDC_LSN, F.lit(str(lsn)))
+        .withColumn(
+            CDC_UPDATED_AT,
+            F.col("ts") if "ts" in snapshot_df.columns
+            else F.lit(None).cast("timestamp"),
+        )
+        .withColumn(CDC_DELETED_AT, F.lit(None).cast("timestamp"))
+    )
+    table.overwrite(stamped)
+    return table
+
+
 def make_applier(
     table: LakeTable,
     checkpoint_dir: str,

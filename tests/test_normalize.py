@@ -1,0 +1,122 @@
+"""Unit tests: normalization coercions (F1-F5) + dedup + config.
+
+Coercion truth tables mirror /root/reference/typeutils/reformat.go:44-106.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from gear5_spark.config import PipelineConfig, config_spec
+from gear5_spark.operators.dedup import latest_per_key
+from gear5_spark.operators.normalize import (
+    coerce_bool,
+    coerce_double,
+    coerce_long,
+    coerce_timestamp,
+)
+
+
+def _vals(spark, values, fn):
+    df = spark.createDataFrame([(v,) for v in values], ["v"])
+    return [r[0] for r in df.select(fn(F.col("v")).alias("o")).collect()]
+
+
+def test_coerce_bool_truth_table(spark):
+    # reformat.go:48-72 truth table
+    got = _vals(
+        spark,
+        ["1", "t", "TRUE", " yes ", "on", "0", "F", "false", "No", "off", "x", None],
+        coerce_bool,
+    )
+    assert got == [
+        True, True, True, True, True,
+        False, False, False, False, False,
+        None, None,
+    ]
+
+
+def test_coerce_long(spark):
+    got = _vals(spark, ["42", "3.9", "-7", "abc", None], coerce_long)
+    assert got == [42, 3, -7, None, None]  # floats truncate (reformat.go:190)
+
+
+def test_coerce_double(spark):
+    got = _vals(spark, ["1.5", "-2", "1e3", "nope", None], coerce_double)
+    assert got == [1.5, -2.0, 1000.0, None, None]
+
+
+def test_coerce_timestamp_layouts(spark):
+    got = _vals(
+        spark,
+        [
+            "2024-03-01T12:30:45",
+            "2024-03-01 12:30:45",
+            "2024/03/01 12:30:45",
+            "2024-03-01",
+            "03/15/2024",
+            "1700000000",  # unix seconds fallback
+            "not a date",
+        ],
+        coerce_timestamp,
+    )
+    assert got[0] == dt.datetime(2024, 3, 1, 12, 30, 45)
+    assert got[1] == dt.datetime(2024, 3, 1, 12, 30, 45)
+    assert got[2] == dt.datetime(2024, 3, 1, 12, 30, 45)
+    assert got[3] == dt.datetime(2024, 3, 1)
+    assert got[4] == dt.datetime(2024, 3, 15)
+    assert got[5] == dt.datetime(2023, 11, 14, 22, 13, 20)
+    assert got[6] is None
+
+
+def test_latest_per_key_plain_vs_salted(spark):
+    rows = []
+    for lsn in range(200):
+        key = lsn % 7
+        rows.append((lsn, lsn % 3, key, f"v{lsn}"))
+    df = spark.createDataFrame(rows, ["lsn", "txn_seq", "k", "val"])
+    plain = {
+        (r["k"], r["val"])
+        for r in latest_per_key(df, ["k"]).collect()
+    }
+    salted = {
+        (r["k"], r["val"])
+        for r in latest_per_key(df, ["k"], salt_buckets=5).collect()
+    }
+    assert plain == salted
+    assert len(plain) == 7
+    # latest lsn per key wins
+    assert ("0", "v196") not in plain  # keys are ints; sanity on shape
+    want = {(k, f"v{max(l for l in range(200) if l % 7 == k)}") for k in range(7)}
+    assert plain == want
+
+
+def test_config_validate_and_spec(tmp_path):
+    cfg = PipelineConfig(
+        changelog_dir=str(tmp_path),
+        table_dir=str(tmp_path / "t"),
+        checkpoint_dir=str(tmp_path / "c"),
+    )
+    assert cfg.validate() == []
+    bad = PipelineConfig(
+        changelog_dir="/nonexistent",
+        table_dir="t",
+        checkpoint_dir="c",
+        mode="nope",
+        delete_mode="purge",
+        salt_buckets=0,
+        exclude_columns=["conv_id"],
+    )
+    problems = bad.validate()
+    assert len(problems) == 5
+    spec = config_spec()
+    assert spec["required"] == ["changelog_dir", "table_dir", "checkpoint_dir"]
+    assert spec["properties"]["mode"]["default"] == "stream"
+    # round-trip + unknown-key rejection
+    import pytest
+
+    assert PipelineConfig.from_dict(cfg.to_dict()) == cfg
+    with pytest.raises(ValueError, match="unknown config keys"):
+        PipelineConfig.from_dict({**cfg.to_dict(), "bogus": 1})
