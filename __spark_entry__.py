@@ -278,6 +278,23 @@ def _q_cdc_replay(spark, sf_dir):
     return _cdc_replay(spark, sf_dir)
 
 
+def _q_media_features(spark, sf_dir):
+    # multimodal plumbing: deterministic synthetic media -> Arrow-batched
+    # feature extraction (codec stubbed; plumbing real)
+    from gear5_spark.multimodal.binary import extract_features, synthesize_media
+
+    return extract_features(synthesize_media(spark, n=100), dim=8).select(
+        "media_id", "kind", "n_bytes", "sha256"
+    )
+
+
+def _q_media_dedup(spark, sf_dir):
+    from gear5_spark.multimodal.binary import dedupe_media, synthesize_media
+
+    media = synthesize_media(spark, n=100)
+    return dedupe_media(media.union(media.limit(10)))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "snapshot_scan": _q_snapshot_scan,
@@ -305,6 +322,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "lsh_cosine_topk": _q_lsh_cosine_topk,
         "cdc_replay": _q_cdc_replay,
+        "media_features": _q_media_features,
+        "media_dedup": _q_media_dedup,
     }
 
 

@@ -54,11 +54,20 @@ def _fresh_spark(cores: int):
     )
 
 
-def _replay(spark, log_dir: str, tag: str) -> float:
+def _replay(spark, log_dir: str, tag: str, warmup: bool = True) -> float:
+    from gen_fixtures import generate_changelog
     from gear5_spark.pipeline.runner import bootstrap_table, replay_batch
 
     work = f"/tmp/gear5-bench-replay-{tag}"
     shutil.rmtree(work, ignore_errors=True)
+    if warmup:
+        # JVM/codegen warmup on a small log so the first timed session
+        # isn't penalized (keeps the N vs 4N comparison honest)
+        wdir = f"{work}/warm"
+        generate_changelog(f"{wdir}/log", n_events=5_000, n_convs=100,
+                           chunk_rows=5_000, seed=7)
+        wt = bootstrap_table(spark, f"{wdir}/table", n_buckets=32)
+        replay_batch(spark, f"{wdir}/log", wt, checkpoint_dir=f"{wdir}/ckpt")
     table = bootstrap_table(spark, f"{work}/table", n_buckets=32)
     t0 = time.perf_counter()
     replay_batch(spark, log_dir, table, checkpoint_dir=f"{work}/ckpt")
@@ -88,13 +97,22 @@ def main() -> None:
     results: dict[str, float] = {}
     scaling: dict[str, float] = {}
 
-    # --- scaling evidence: identical bulk replay at N and 4N local cores
+    # --- scaling evidence: identical bulk replay at N and 4N local cores.
+    # min-of-2 per level: the sandbox host carries unpredictable external
+    # load, and the first run pays cold page-cache; the min is the least
+    # contaminated estimate of the engine's own cost.
     spark = _fresh_spark(LOW_CPUS)
-    t_low = _replay(spark, log_dir, f"low{LOW_CPUS}")
+    t_low = min(
+        _replay(spark, log_dir, f"low{LOW_CPUS}-a"),
+        _replay(spark, log_dir, f"low{LOW_CPUS}-b", warmup=False),
+    )
     results[f"cdc_replay_bulk_local{LOW_CPUS}"] = round(t_low, 3)
 
     spark = _fresh_spark(CPUS)
-    t_high = _replay(spark, log_dir, f"high{CPUS}")
+    t_high = min(
+        _replay(spark, log_dir, f"high{CPUS}-a"),
+        _replay(spark, log_dir, f"high{CPUS}-b", warmup=False),
+    )
     results[f"cdc_replay_bulk_local{CPUS}"] = round(t_high, 3)
 
     tp_low = N_EVENTS / t_low

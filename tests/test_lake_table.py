@@ -1,0 +1,137 @@
+"""Lake table unit tests: atomic commits, time travel, bucket pruning,
+concurrent-commit rejection, soft deletes."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from gear5_spark.lake.merge import active, merge_into
+from gear5_spark.lake.table import (
+    BUCKET_COL,
+    ConcurrentCommitError,
+    LakeTable,
+    Snapshot,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.StringType(), False),
+        T.StructField("v", T.LongType(), True),
+        T.StructField("_cdc_lsn", T.StringType(), True),
+        T.StructField("_cdc_updated_at", T.TimestampType(), True),
+        T.StructField("_cdc_deleted_at", T.TimestampType(), True),
+    ]
+)
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return LakeTable.create(
+        spark, str(tmp_path / "t"), schema=SCHEMA, key_columns=["k"], n_buckets=4
+    )
+
+
+_BATCH_SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.StringType(), False),
+        T.StructField("v", T.LongType(), True),
+        T.StructField("_cdc_lsn", T.StringType(), True),
+        T.StructField("_cdc_updated_at", T.TimestampType(), True),
+        T.StructField("_cdc_deleted_at", T.TimestampType(), True),
+        T.StructField("op", T.StringType(), False),
+    ]
+)
+
+
+def _batch(spark, rows):
+    # rows: (k, v, lsn, op)
+    return spark.createDataFrame(
+        [(k, v, str(lsn), None, None, op) for (k, v, lsn, op) in rows],
+        _BATCH_SCHEMA,
+    )
+
+
+def test_time_travel_and_history(spark, table):
+    merge_into(table, _batch(spark, [("a", 1, 1, "insert")]))
+    merge_into(table, _batch(spark, [("a", 2, 2, "update")]))
+    assert table.read().collect()[0]["v"] == 2
+    # read the older snapshot
+    old = table.read(snapshot=table.snapshot(1))
+    assert old.collect()[0]["v"] == 1
+    assert [s.version for s in table.history()] == [0, 1, 2]
+
+
+def test_concurrent_commit_rejected(spark, table):
+    snap = table.snapshot()
+    table.commit(files=snap.files)  # v1
+    # a stale writer that also read v0 and tries to publish v1
+    stale = Snapshot(
+        version=1,
+        snapshot_id="stale",
+        parent_version=0,
+        schema=snap.schema,
+        properties=snap.properties,
+        files=snap.files,
+        txn={},
+    )
+    with pytest.raises(ConcurrentCommitError):
+        table._publish(stale)
+
+
+def test_txn_ledger_rejects_replayed_batch(spark, table):
+    merge_into(
+        table, _batch(spark, [("a", 1, 1, "insert")]),
+        txn_app_id="app", txn_batch_id=5,
+    )
+    with pytest.raises(ConcurrentCommitError):
+        table.commit(files=table.snapshot().files, txn_app_id="app", txn_batch_id=5)
+    assert table.last_committed_batch("app") == 5
+    assert table.last_committed_batch("other") is None
+
+
+def test_bucket_pruned_read(spark, table):
+    rows = [(f"k{i}", i, 1, "insert") for i in range(50)]
+    merge_into(table, _batch(spark, rows))
+    snap = table.snapshot()
+    # distribution across buckets exists
+    buckets = {f["bucket"] for f in snap.files}
+    assert len(buckets) > 1
+    b0 = sorted(buckets)[0]
+    pruned = table.read(buckets=[b0], with_internal=True)
+    got_buckets = {r[BUCKET_COL] for r in pruned.select(BUCKET_COL).distinct().collect()}
+    assert got_buckets == {b0}
+    # pruned read touches only that bucket's files
+    assert pruned.count() < 50
+
+
+def test_soft_delete_tombstones(spark, table):
+    merge_into(table, _batch(spark, [("a", 1, 1, "insert"), ("b", 2, 1, "insert")]))
+    deletes = _batch(spark, [("a", None, 2, "delete")]).withColumn(
+        "_cdc_deleted_at", F.lit("2024-01-01 00:00:00").cast("timestamp")
+    )
+    merge_into(table, deletes, delete_mode="soft")
+    all_rows = table.read()
+    assert all_rows.count() == 2  # tombstone kept
+    live = active(all_rows)
+    assert live.count() == 1
+    assert live.first()["k"] == "b"
+
+
+def test_order_guard_blocks_stale_batch(spark, table):
+    merge_into(table, _batch(spark, [("a", 10, 100, "update")]))
+    # a late-arriving older batch must not regress the row
+    merge_into(table, _batch(spark, [("a", 5, 50, "update")]), order_guard=True)
+    assert table.read().first()["v"] == 10
+    # without the guard it would (documented bulk-path tradeoff)
+    merge_into(table, _batch(spark, [("a", 5, 50, "update")]), order_guard=False)
+    assert table.read().first()["v"] == 5
+
+
+def test_vacuum_keeps_live_history(spark, table):
+    merge_into(table, _batch(spark, [("a", 1, 1, "insert")]))
+    merge_into(table, _batch(spark, [("a", 2, 2, "update")]))
+    removed = table.vacuum()
+    assert removed == []  # both commits still referenced by history
+    assert table.read().count() == 1
