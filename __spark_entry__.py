@@ -187,6 +187,38 @@ def _q_timestamp_roundtrip(spark, sf_dir):
     return s.select("event_id", coerce_timestamp(F.col("s")).alias("parsed"))
 
 
+def _q_discover_sample(spark, sf_dir):
+    # O2: bounded sample for schema inference (100 records/stream,
+    # protocol/discover.go:46) — deterministic via pk order
+    return (
+        _t(spark, sf_dir, "events")
+        .orderBy("event_id")
+        .limit(100)
+        .select("event_id", "event_type", "user_id")
+    )
+
+
+def _q_array_wrap(spark, sf_dir):
+    # F6: scalar -> 1-element array wrap (reformat.go:96-102)
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", F.array("lang").alias("lang_arr")
+    )
+
+
+def _q_cursor_greatest(spark, sf_dir):
+    # F12: date max via greatest (utils/utils.go:174-180) — per-stream
+    # cursor floored at a start date
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.greatest(
+                F.max("ts"), F.lit("2024-01-15 00:00:00").cast("timestamp")
+            ).alias("effective_cursor")
+        )
+    )
+
+
 def _q_stream_id(spark, sf_dir):
     # F11: namespace.name stream identifier
     return (
@@ -309,6 +341,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract_typed": _q_json_extract_typed,
         "bool_coercion": _q_bool_coercion,
         "timestamp_roundtrip": _q_timestamp_roundtrip,
+        "discover_sample": _q_discover_sample,
+        "array_wrap": _q_array_wrap,
+        "cursor_greatest": _q_cursor_greatest,
         "stream_id": _q_stream_id,
         "exact_dedup": _q_exact_dedup,
         "token_count": _q_token_count,
@@ -397,6 +432,16 @@ def oracle_sql() -> dict[str, str]:
         ),
         "stream_id": (
             "SELECT DISTINCT source || '.' || lang AS stream_id FROM documents"
+        ),
+        "discover_sample": (
+            "SELECT event_id, event_type, user_id FROM events "
+            "ORDER BY event_id LIMIT 100"
+        ),
+        "array_wrap": "SELECT doc_id, [lang] AS lang_arr FROM documents",
+        "cursor_greatest": (
+            "SELECT event_type, greatest(max(ts), "
+            "TIMESTAMP '2024-01-15 00:00:00') AS effective_cursor "
+            "FROM events GROUP BY event_type"
         ),
         "exact_dedup": (
             "SELECT md5(lower(trim(text))) AS fingerprint, "

@@ -172,3 +172,53 @@ def run_stream(
     if available_now:
         query.awaitTermination(timeout_sec)
     return query
+
+
+def run_stream_until_idle(
+    spark: SparkSession,
+    changelog_dir: str,
+    table: LakeTable,
+    checkpoint_dir: str,
+    idle_timeout_sec: float = 10.0,
+    poll_sec: float = 0.5,
+    max_wall_sec: float = 3600.0,
+    **kwargs,
+):
+    """Tail the feed with a processing-time trigger and stop once no new
+    data arrives for ``idle_timeout_sec`` — the reference's
+    ``InitialWaitTime`` bounded-sync semantics (SURVEY.md ST2,
+    drivers/postgres/internal/config.go:75-89, pkg/waljs/waljs.go:133-146)
+    expressed with query-progress polling instead of socket deadlines."""
+    import time as _time
+
+    query = run_stream(
+        spark,
+        changelog_dir,
+        table,
+        checkpoint_dir,
+        available_now=False,
+        processing_time=kwargs.pop("processing_time", "1 seconds"),
+        **kwargs,
+    )
+    deadline = _time.monotonic() + max_wall_sec
+    last_data = _time.monotonic()
+    seen_batches = set()
+    try:
+        while _time.monotonic() < deadline:
+            if not query.isActive:
+                break
+            progress = query.lastProgress
+            if progress:
+                bid = progress.get("batchId")
+                rows = progress.get("numInputRows", 0)
+                if bid not in seen_batches and rows > 0:
+                    seen_batches.add(bid)
+                    last_data = _time.monotonic()
+            if _time.monotonic() - last_data > idle_timeout_sec:
+                break
+            _time.sleep(poll_sec)
+    finally:
+        if query.isActive:
+            query.stop()
+        query.awaitTermination(30)
+    return query
