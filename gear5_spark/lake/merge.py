@@ -86,6 +86,7 @@ def merge_into(
     txn_app_id: str | None = None,
     txn_batch_id: int | None = None,
     lineage: dict[str, Any] | None = None,
+    affected_buckets: list[int] | None = None,
 ) -> tuple[Snapshot, MergeStats]:
     """Apply a deduped change batch (one row per key) to the table.
 
@@ -114,11 +115,19 @@ def merge_into(
         list(evolved.fields) + [T.StructField(BUCKET_COL, T.IntegerType(), True)]
     )
 
-    # persist: the deduped batch feeds both the affected-bucket probe and
-    # the merge join — without it the whole upstream (parse+dedup shuffle)
-    # would execute twice
-    keyed = batch.withColumn(BUCKET_COL, table.bucket_expr(snap)).persist()
-    affected = sorted(r[0] for r in keyed.select(BUCKET_COL).distinct().collect())
+    keyed = batch.withColumn(BUCKET_COL, table.bucket_expr(snap))
+    if affected_buckets is not None:
+        # caller computed bucket membership upstream (it depends only on
+        # the bucket column, so it can ride an earlier pass over the raw
+        # batch) — no extra job, no persist needed
+        affected = sorted(affected_buckets)
+    else:
+        # persist: the probe and the merge join would otherwise both
+        # execute the whole upstream (parse + dedup shuffle)
+        keyed = keyed.persist()
+        affected = sorted(
+            r[0] for r in keyed.select(BUCKET_COL).distinct().collect()
+        )
     target = table.read(snapshot=snap, buckets=affected, with_internal=True)
 
     if order_guard:
@@ -142,7 +151,8 @@ def merge_into(
     try:
         _, new_entries = table.write_data_files(new_data)
     finally:
-        keyed.unpersist()
+        if affected_buckets is None:
+            keyed.unpersist()
     kept = [f for f in snap.files if f["bucket"] not in set(affected)]
     new_snap = table.commit(
         files=kept + new_entries,
@@ -187,18 +197,36 @@ def _guarded_merge(
         F.lit(True),
     )
     batch_wins = F.col("_b").isNotNull() & (F.col("_t").isNull() | guard)
-    is_delete = F.col(f"_b.{op_col}") == "delete"
+    is_delete = F.coalesce(F.col(f"_b.{op_col}") == "delete", F.lit(False))
 
-    kept = j.filter(~batch_wins).select(
-        *key_cols, *[F.col(f"_t.{c}").alias(c) for c in t_payload]
+    # ONE pass over ONE join: a per-row CASE picks the winning side, so the
+    # join executes once (a kept/applied filter+union pair would run the
+    # whole join subtree twice)
+    def _side(prefix: str, cols: list[str]):
+        have = set(cols)
+        return F.struct(
+            *[
+                (
+                    F.col(f"{prefix}.{f.name}").cast(f.dataType)
+                    if f.name in have
+                    else F.lit(None).cast(f.dataType)
+                ).alias(f.name)
+                for f in write_schema.fields
+                if f.name not in key_cols
+            ]
+        )
+
+    row = F.when(batch_wins, _side("_b", b_payload)).otherwise(
+        _side("_t", t_payload)
     )
-    applied_src = j.filter(batch_wins)
+    out = j.withColumn("_r", row)
     if delete_mode == "hard":
-        applied_src = applied_src.filter(~is_delete)
-    applied = applied_src.select(
-        *key_cols, *[F.col(f"_b.{c}").alias(c) for c in b_payload]
+        out = out.filter(~(batch_wins & is_delete))
+    non_key = [f.name for f in write_schema.fields if f.name not in key_cols]
+    merged = out.select(
+        *key_cols, *[F.col(f"_r.{c}").alias(c) for c in non_key]
     )
-    return _project(kept, write_schema).unionByName(_project(applied, write_schema))
+    return _project(merged, write_schema)
 
 
 def active(df: DataFrame) -> DataFrame:

@@ -144,6 +144,7 @@ class TranscriptsApplier:
                 F.array_distinct(
                     F.flatten(F.collect_set(F.json_object_keys("after_json")))
                 ).alias("payload_keys"),
+                F.collect_set(self.table.bucket_expr()).alias("buckets"),
             ).first()
             if stats["event_count"] == 0:
                 return None
@@ -182,11 +183,8 @@ class TranscriptsApplier:
                 broadcast_batch=self.broadcast_batch,
                 txn_app_id=self.app_id,
                 txn_batch_id=int(batch_id),
-                lineage={
-                    **lineage,
-                    "snapshot_id": None,  # filled below from commit
-                    "committed_at_ms": None,
-                },
+                lineage=lineage,
+                affected_buckets=list(stats["buckets"] or []),
             )
             self.applied.append(mstats)
             return snap
