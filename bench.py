@@ -20,7 +20,7 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "250000"))
+N_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "4000000"))
 LOW_CPUS = max(2, CPUS // 4)
 SEED = 42
 
@@ -29,13 +29,13 @@ def _bench_changelog() -> str:
     """Seeded bench change log, cached across runs (same seed+size)."""
     from gen_fixtures import generate_changelog
 
-    d = f"/tmp/gear5-bench-log-{N_EVENTS}-{SEED}"
+    d = f"/tmp/gear5-bench-log-{N_EVENTS}-{SEED}-c64"
     if not os.path.exists(os.path.join(d, "_manifest.json")):
         shutil.rmtree(d, ignore_errors=True)
         generate_changelog(
             d, n_events=N_EVENTS, n_convs=max(200, N_EVENTS // 500),
-            chunk_rows=max(10_000, N_EVENTS // 16), seed=SEED,
-        )
+            chunk_rows=max(10_000, N_EVENTS // 64), seed=SEED,
+        )  # cached across rounds: same seed+size -> same bytes
     return d
 
 
