@@ -136,7 +136,8 @@ def cmd_read(args) -> int:
         applier = make_applier(
             table, cfg.checkpoint_dir, app_id=cfg.app_id,
             delete_mode=cfg.delete_mode, normalize_mode=cfg.normalize_mode,
-            salt_buckets=cfg.salt_buckets,
+            salt_buckets=cfg.salt_buckets, sink_mode=cfg.sink_mode,
+            compact_every=cfg.compact_every,
         )
         run_stream(
             spark, cfg.changelog_dir, table, cfg.checkpoint_dir,

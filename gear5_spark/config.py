@@ -27,6 +27,8 @@ class PipelineConfig:
     delete_mode: str = "hard"  # hard | soft
     normalize_mode: str = "sql"  # sql | pandas
     salt_buckets: int = 1
+    sink_mode: str = "cow"  # cow | mor
+    compact_every: int = 8
     max_files_per_trigger: int = 4
     app_id: str = "transcripts-cdc"
     exclude_columns: list[str] = field(default_factory=list)
@@ -62,6 +64,8 @@ class PipelineConfig:
             problems.append("n_buckets must be >= 1")
         if self.salt_buckets < 1:
             problems.append("salt_buckets must be >= 1")
+        if self.sink_mode not in ("cow", "mor"):
+            problems.append(f"sink_mode must be cow|mor, got {self.sink_mode}")
         if self.max_files_per_trigger < 1:
             problems.append("max_files_per_trigger must be >= 1")
         if not os.path.isdir(self.changelog_dir):

@@ -1,0 +1,161 @@
+"""Merge-on-read (MoR) mode: delta files + reconstruct-on-read + compaction.
+
+Copy-on-write MERGE (lake/merge.py) rewrites every affected bucket per
+micro-batch — with uniformly distributed keys that approaches a full-table
+rewrite per batch, the classic CoW write-amplification wall. MoR is the
+Iceberg/Hudi answer, built here on the same manifest format:
+
+- ``merge_delta``  — write the deduped batch AS-IS as per-bucket *delta*
+  files (manifest entries carry ``kind: delta``); base files untouched.
+  Write cost per batch: O(batch), not O(table).
+- ``LakeTable.read`` — when a snapshot holds deltas, reconstruct: union
+  base + deltas, latest-per-key by ``(_cdc_lsn, file kind)``, drop rows
+  whose winning op is delete. Read cost grows with resident deltas.
+- ``compact``      — fold deltas into base per bucket (the CoW merge path
+  reused), bounding read amplification; the applier auto-compacts every
+  ``compact_every`` batches.
+
+Exactly-once carries over unchanged: delta commits go through the same
+atomic manifest publish + txn ledger.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from gear5_spark.lake.table import BUCKET_COL, CDC_LSN, LakeTable, Snapshot
+from gear5_spark.operators.typing import merge_schemas
+
+OP_COL = "_op"
+
+
+def merge_delta(
+    table: LakeTable,
+    batch: DataFrame,
+    op_col: str = "op",
+    txn_app_id: str | None = None,
+    txn_batch_id: int | None = None,
+    lineage: dict[str, Any] | None = None,
+    affected_buckets: list[int] | None = None,
+) -> Snapshot:
+    """Append the deduped batch as delta files; no base rewrite.
+
+    The batch keeps its ``op`` (persisted as ``_op``) so deletes survive
+    as logical tombstones until compaction."""
+    snap = table.snapshot()
+    data_col_names = {f.name for f in snap.schema.fields}
+    new_fields = [
+        f
+        for f in batch.schema.fields
+        if f.name not in data_col_names
+        and f.name not in (op_col, OP_COL, BUCKET_COL)
+        and f.name not in ("lsn", "txn_id", "txn_seq", "ts_ms")
+    ]
+    evolved, _changes = merge_schemas(
+        snap.schema, T.StructType(list(snap.schema.fields) + new_fields)
+    )
+
+    keyed = batch.withColumn(BUCKET_COL, table.bucket_expr(snap))
+    have = set(keyed.columns)
+    cols = [
+        (
+            F.col(f.name).cast(f.dataType)
+            if f.name in have
+            else F.lit(None).cast(f.dataType)
+        ).alias(f.name)
+        for f in evolved.fields
+    ]
+    delta = keyed.select(
+        *cols, F.col(op_col).alias(OP_COL), F.col(BUCKET_COL)
+    )
+    _, entries = table.write_data_files(delta)
+    for e in entries:
+        e["kind"] = "delta"
+    return table.commit(
+        files=snap.files + entries,
+        schema=evolved,
+        txn_app_id=txn_app_id,
+        txn_batch_id=txn_batch_id,
+        lineage=lineage,
+    )
+
+
+def reconstruct(
+    table: LakeTable,
+    snap: Snapshot,
+    files: list[dict[str, Any]],
+    with_internal: bool = False,
+) -> DataFrame:
+    """Merge base + delta files into the logical current state.
+
+    One keyed shuffle (max_by over ``(_cdc_lsn, delta-wins-ties)``) —
+    identical machinery to the micro-batch dedup, applied at read time."""
+    import os
+
+    key_cols = snap.properties["key_columns"]
+    read_schema = T.StructType(
+        list(snap.schema.fields)
+        + [
+            T.StructField(BUCKET_COL, T.IntegerType(), True),
+            T.StructField(OP_COL, T.StringType(), True),
+        ]
+    )
+    if not files:
+        df = table.spark.createDataFrame([], read_schema)
+    else:
+        paths = [os.path.join(table.table_dir, f["path"]) for f in files]
+        df = table.spark.read.schema(read_schema).parquet(*paths)
+    ord_expr = F.struct(
+        F.coalesce(F.col(CDC_LSN).try_cast("long"), F.lit(-1)).alias("o1"),
+        F.when(F.col(OP_COL).isNotNull(), 1).otherwise(0).alias("o2"),
+    )
+    payload_cols = [c for c in df.columns if c not in key_cols]
+    winner = df.groupBy(*key_cols).agg(
+        F.max_by(F.struct(*[F.col(c) for c in payload_cols]), ord_expr).alias("_p")
+    )
+    flat = winner.select(
+        *key_cols, *[F.col(f"_p.{c}").alias(c) for c in payload_cols]
+    )
+    live = flat.filter(
+        F.coalesce(F.col(OP_COL) != "delete", F.lit(True))
+    )
+    if with_internal:
+        return live.select(*[f.name for f in snap.schema.fields], BUCKET_COL)
+    return live.select(*[f.name for f in snap.schema.fields])
+
+
+def compact(
+    table: LakeTable,
+    buckets: list[int] | None = None,
+    txn_app_id: str | None = None,
+    txn_batch_id: int | None = None,
+    lineage: dict[str, Any] | None = None,
+) -> Snapshot | None:
+    """Fold resident deltas into base files for ``buckets`` (default: every
+    bucket that has deltas). No-op (returns None) when nothing to compact.
+
+    Runs as its own atomic commit — a crash mid-compaction leaves only
+    orphan files; readers keep seeing base+delta until the swap."""
+    snap = table.snapshot()
+    delta_buckets = sorted(
+        {f["bucket"] for f in snap.files if f.get("kind") == "delta"}
+    )
+    if buckets is not None:
+        delta_buckets = sorted(set(delta_buckets) & set(buckets))
+    if not delta_buckets:
+        return None
+    target = set(delta_buckets)
+    in_scope = [f for f in snap.files if f["bucket"] in target]
+    out_scope = [f for f in snap.files if f["bucket"] not in target]
+    merged = reconstruct(table, snap, in_scope, with_internal=True)
+    _, entries = table.write_data_files(merged)
+    return table.commit(
+        files=out_scope + entries,
+        txn_app_id=txn_app_id,
+        txn_batch_id=txn_batch_id,
+        lineage=lineage,
+    )

@@ -213,6 +213,11 @@ class LakeTable:
         if buckets is not None:
             want = set(buckets)
             files = [f for f in files if f["bucket"] in want]
+        if any(f.get("kind") == "delta" for f in files):
+            # MoR snapshot: merge base + deltas at read time
+            from gear5_spark.lake.mor import reconstruct
+
+            return reconstruct(self, snap, files, with_internal=with_internal)
         read_schema = self._read_schema(snap)
         if not files:
             df = self.spark.createDataFrame([], read_schema)

@@ -62,6 +62,8 @@ class TranscriptsApplier:
     salt_buckets: int = 1
     order_guard: bool = True
     broadcast_batch: bool = False
+    sink_mode: str = "cow"  # cow | mor (delta files + periodic compaction)
+    compact_every: int = 8
     applied: list[MergeStats] = field(default_factory=list)
     skipped_batches: list[int] = field(default_factory=list)
 
@@ -175,6 +177,24 @@ class TranscriptsApplier:
                 "txn_ids_hash": format(stats["txn_hash"] & ((1 << 64) - 1), "x"),
                 "snapshot_version": self.table.current_version() + 1,
             }
+            affected = list(stats["buckets"] or [])
+            if self.sink_mode == "mor":
+                from gear5_spark.lake.mor import compact, merge_delta
+
+                snap = merge_delta(
+                    self.table,
+                    deduped,
+                    txn_app_id=self.app_id,
+                    txn_batch_id=int(batch_id),
+                    lineage=lineage,
+                    affected_buckets=affected,
+                )
+                # bound read amplification: fold deltas into base
+                # periodically (its own atomic commit, no txn id — derived
+                # state, safe to redo after a crash)
+                if self.compact_every and (batch_id + 1) % self.compact_every == 0:
+                    compact(self.table)
+                return snap
             snap, mstats = merge_into(
                 self.table,
                 deduped,
@@ -184,7 +204,7 @@ class TranscriptsApplier:
                 txn_app_id=self.app_id,
                 txn_batch_id=int(batch_id),
                 lineage=lineage,
-                affected_buckets=list(stats["buckets"] or []),
+                affected_buckets=affected,
             )
             self.applied.append(mstats)
             return snap
