@@ -109,6 +109,11 @@ class Snapshot:
         )
 
 
+# session-wide cache: bucket-count -> identity partition map (pure function
+# of Murmur3, independent of table)
+_IDENT_MAP_CACHE: dict[int, list[int]] = {}
+
+
 def _manifest_path(table_dir: str, version: int) -> str:
     return os.path.join(table_dir, MANIFEST_DIR, f"v{version:08d}.json")
 
@@ -258,8 +263,8 @@ class LakeTable:
         output partition then holds EXACTLY one bucket — one file per
         bucket with a plain parquet write, no dynamic-partition writer
         (measured 2.4x slower) and no hash collisions mixing buckets."""
-        cache = getattr(self, "_ident_map_cache", None)
-        if cache is None or cache[0] != n_buckets:
+        cache = _IDENT_MAP_CACHE.get(n_buckets)
+        if cache is None:
             span = 20 * n_buckets
             while True:
                 probe = (
@@ -278,9 +283,9 @@ class LakeTable:
                 if len(mapping) == n_buckets:
                     break
                 span *= 4  # extremely unlikely; widen the probe
-            self._ident_map_cache = (n_buckets, [mapping[b] for b in range(n_buckets)])
-            cache = self._ident_map_cache
-        arr = F.array(*[F.lit(x) for x in cache[1]])
+            cache = [mapping[b] for b in range(n_buckets)]
+            _IDENT_MAP_CACHE[n_buckets] = cache
+        arr = F.array(*[F.lit(x) for x in cache])
         return F.element_at(arr, F.col(BUCKET_COL) + 1)
 
     def write_data_files(
