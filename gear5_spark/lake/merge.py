@@ -128,6 +128,38 @@ def merge_into(
         affected = sorted(
             r[0] for r in keyed.select(BUCKET_COL).distinct().collect()
         )
+    target_files = [f for f in snap.files if f["bucket"] in set(affected)]
+    if not target_files:
+        # nothing to merge against (bootstrap load / untouched buckets):
+        # skip the join entirely — dedup output IS the new bucket content
+        upserts = (
+            keyed if delete_mode == "soft"
+            else keyed.filter(F.col(op_col) != "delete")
+        )
+        write_schema_only = T.StructType(
+            list(evolved.fields)
+            + [T.StructField(BUCKET_COL, T.IntegerType(), True)]
+        )
+        new_data = _project(upserts, write_schema_only)
+        try:
+            _, new_entries = table.write_data_files(new_data)
+        finally:
+            if affected_buckets is None:
+                keyed.unpersist()
+        new_snap = table.commit(
+            files=list(snap.files) + new_entries,
+            schema=evolved,
+            txn_app_id=txn_app_id,
+            txn_batch_id=txn_batch_id,
+            lineage=lineage,
+        )
+        return new_snap, MergeStats(
+            affected_buckets=affected,
+            rewritten_files=len(new_entries),
+            kept_files=len(snap.files),
+            schema_changes=changes,
+        )
+
     target = table.read(snapshot=snap, buckets=affected, with_internal=True)
 
     if order_guard:

@@ -133,7 +133,7 @@ class LakeTable:
         table_dir: str,
         schema: T.StructType,
         key_columns: list[str],
-        bucket_column: str | None = None,
+        bucket_columns: list[str] | str | None = None,
         n_buckets: int = 16,
         if_not_exists: bool = False,
     ) -> "LakeTable":
@@ -155,7 +155,11 @@ class LakeTable:
             schema=schema,
             properties={
                 "key_columns": key_columns,
-                "bucket_column": bucket_column or key_columns[0],
+                "bucket_columns": (
+                    [bucket_columns]
+                    if isinstance(bucket_columns, str)
+                    else (bucket_columns or list(key_columns))
+                ),
                 "n_buckets": n_buckets,
             },
             files=[],
@@ -234,10 +238,19 @@ class LakeTable:
         return df
 
     def bucket_expr(self, snap: Snapshot | None = None):
+        """bucket = pmod(xxhash64(bucket cols), n). Default bucket columns
+        are the FULL key: a hot entity (one conv_id receiving a large
+        share of events) then spreads across all buckets instead of
+        turning one bucket into a write/join straggler — point lookups by
+        full key still prune to one bucket."""
         snap = snap or self.snapshot()
-        col = snap.properties["bucket_column"]
+        cols = snap.properties.get("bucket_columns") or [
+            snap.properties.get("bucket_column")
+        ]
         n = snap.properties["n_buckets"]
-        return F.pmod(F.xxhash64(F.col(col).cast("string")), F.lit(n)).cast("int")
+        return F.pmod(
+            F.xxhash64(*[F.col(c).cast("string") for c in cols]), F.lit(n)
+        ).cast("int")
 
     # ---------------------------------------------------------------- writes
     def _publish(self, snap: Snapshot) -> None:

@@ -62,7 +62,7 @@ def bootstrap_table(
         table_dir,
         schema=TRANSCRIPTS_SCHEMA,
         key_columns=KEY_COLS,
-        bucket_column="conv_id",
+        bucket_columns=KEY_COLS,
         n_buckets=n_buckets,
         if_not_exists=if_not_exists,
     )
