@@ -128,40 +128,51 @@ class TranscriptsApplier:
 
     # --------------------------------------------------------------- applier
     def __call__(self, batch: DataFrame, batch_id: int) -> Snapshot | None:
+        import uuid
+
+        from pyspark.sql import Observation
+
         last = self.table.last_committed_batch(self.app_id)
         if last is not None and batch_id <= last:
             self.skipped_batches.append(batch_id)
             return None  # replayed batch already committed — exactly-once
-        batch = batch.persist()
+        # Stats ride the dedup scan as an Observation side-effect — ONE
+        # pass over the raw batch computes lsn range, count, txn-set hash,
+        # payload-key discovery (collect_set over per-row key arrays
+        # collapses to the few distinct key *shapes*) and the affected
+        # bucket set; no separate stats job.
+        obs = Observation(f"cdc-stats-{uuid.uuid4().hex[:8]}")
+        observed = batch.observe(
+            obs,
+            F.min("lsn").alias("lsn_min"),
+            F.max("lsn").alias("lsn_max"),
+            F.count(F.lit(1)).alias("event_count"),
+            F.expr("bit_xor(xxhash64(txn_id))").alias("txn_hash"),
+            F.array_distinct(
+                F.flatten(F.collect_set(F.json_object_keys("after_json")))
+            ).alias("payload_keys"),
+            F.collect_set(self.table.bucket_expr()).alias("buckets"),
+        )
+        # dedup BEFORE normalize: the JSON of an event that loses the
+        # last-write-wins race is never parsed — at high update ratios
+        # this cuts from_json work to O(distinct keys), not O(events).
+        # Persisting the (smaller) deduped set means the merge never
+        # re-scans raw input.
+        deduped_raw = latest_per_key(
+            observed, KEY_COLS, salt_buckets=self.salt_buckets
+        ).persist()
         try:
-            # ONE stats pass: lsn range, count, txn-set hash AND payload-key
-            # discovery (collect_set over the per-row key arrays collapses
-            # to the few distinct key *shapes*, so the driver-side result
-            # is tiny even at 10^10 events)
-            stats = batch.agg(
-                F.min("lsn").alias("lsn_min"),
-                F.max("lsn").alias("lsn_max"),
-                F.count(F.lit(1)).alias("event_count"),
-                F.expr("bit_xor(xxhash64(txn_id))").alias("txn_hash"),
-                F.array_distinct(
-                    F.flatten(F.collect_set(F.json_object_keys("after_json")))
-                ).alias("payload_keys"),
-                F.collect_set(self.table.bucket_expr()).alias("buckets"),
-            ).first()
-            if stats["event_count"] == 0:
+            if deduped_raw.count() == 0:
                 return None
+            stats = obs.get
 
+            # discovery AFTER dedup is safe: dedup is payload-agnostic, so
+            # newly observed keys just extend the schema the (already
+            # materialized) survivors are parsed with
             registry = self.extend_registry(
                 batch, set(stats["payload_keys"] or []), self.load_registry()
             )
             payload_schema = _registry_to_schema(registry)
-
-            # dedup BEFORE normalize: the JSON of an event that loses the
-            # last-write-wins race is never parsed — at high update ratios
-            # this cuts from_json work to O(distinct keys), not O(events)
-            deduped_raw = latest_per_key(
-                batch, KEY_COLS, salt_buckets=self.salt_buckets
-            )
             deduped = normalize_changes(
                 deduped_raw, payload_schema, mode=self.normalize_mode
             )
@@ -209,7 +220,7 @@ class TranscriptsApplier:
             self.applied.append(mstats)
             return snap
         finally:
-            batch.unpersist()
+            deduped_raw.unpersist()
 
 
 def _is_numeric(v: str) -> bool:
