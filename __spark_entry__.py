@@ -219,6 +219,19 @@ def _q_cursor_greatest(spark, sf_dir):
     )
 
 
+def _q_windowed_counts(spark, sf_dir):
+    # ST4: event-time tumbling-window counts (1 day) per stream
+    from gear5_spark.streaming.metrics import windowed_op_counts
+
+    ev = (_t(spark, sf_dir, "events")
+        .withColumnRenamed("event_type", "op")
+        .withColumnRenamed("user_id", "conv_id"))
+    counts = windowed_op_counts(
+        ev.withColumn("ts_ms", F.unix_millis(F.col("ts").cast("timestamp"))), "1 day"
+    )
+    return counts.select("window_start", "op", "event_count")
+
+
 def _q_stream_id(spark, sf_dir):
     # F11: namespace.name stream identifier
     return (
@@ -344,6 +357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "discover_sample": _q_discover_sample,
         "array_wrap": _q_array_wrap,
         "cursor_greatest": _q_cursor_greatest,
+        "windowed_counts": _q_windowed_counts,
         "stream_id": _q_stream_id,
         "exact_dedup": _q_exact_dedup,
         "token_count": _q_token_count,
@@ -442,6 +456,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, greatest(max(ts), "
             "TIMESTAMP '2024-01-15 00:00:00') AS effective_cursor "
             "FROM events GROUP BY event_type"
+        ),
+        "windowed_counts": (
+            "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start, "
+            "event_type AS op, count(*) AS event_count "
+            "FROM events GROUP BY 1, 2"
         ),
         "exact_dedup": (
             "SELECT md5(lower(trim(text))) AS fingerprint, "
