@@ -323,6 +323,33 @@ def _q_cdc_replay(spark, sf_dir):
     return _cdc_replay(spark, sf_dir)
 
 
+def _q_snapshot_diff(spark, sf_dir):
+    # lake incremental read: row-level change set between two committed
+    # versions of the transcripts table (insert/update/delete per key)
+    import shutil
+    import tempfile
+
+    from gen_fixtures import generate_changelog
+    from gear5_spark.lake.diff import table_diff
+    from gear5_spark.pipeline.runner import bootstrap_table, replay_batch
+
+    work = tempfile.mkdtemp(prefix="gear5-diff-")
+    try:
+        log = os.path.join(work, "log")
+        generate_changelog(log, n_events=2_000, n_convs=50, chunk_rows=500)
+        table = bootstrap_table(spark, os.path.join(work, "t"), n_buckets=8)
+        replay_batch(spark, log, table, os.path.join(work, "c"), max_lsn=999)
+        v1 = table.current_version()
+        replay_batch(spark, log, table, os.path.join(work, "c"), min_lsn=999)
+        diff = table_diff(table, v1).select(
+            "conv_id", "turn_idx", "change", "text"
+        )
+        out = spark.createDataFrame(diff.collect(), diff.schema)
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def _q_media_features(spark, sf_dir):
     # multimodal plumbing: deterministic synthetic media -> Arrow-batched
     # feature extraction (codec stubbed; plumbing real)
@@ -371,6 +398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "lsh_cosine_topk": _q_lsh_cosine_topk,
         "cdc_replay": _q_cdc_replay,
+        "snapshot_diff": _q_snapshot_diff,
         "media_features": _q_media_features,
         "media_dedup": _q_media_dedup,
     }
