@@ -1,0 +1,57 @@
+"""Multi-stream CDC: one interleaved change feed -> many target tables.
+
+The reference's CDC path reads ALL selected tables through one
+replication slot and routes per-change by ``schema.table``
+(``/root/reference/protocol/read.go:127-142`` GroupRead,
+``pkg/waljs/filter.go:32-46`` table filter). Spark-native: the feed
+carries a ``stream`` column; ONE Structured Streaming query consumes it
+and the foreachBatch body routes each stream's slice to its own lake
+table via the per-table applier.
+
+Exactly-once across N tables from one checkpoint: each table has its OWN
+txn ledger keyed by the same (app_id, batch_id). If the process dies after
+table A committed batch k but before table B did, the replayed batch k is
+a no-op for A (ledger hit) and applies exactly once to B — per-table
+atomicity without any cross-table transaction (same recovery contract as
+multi-table Iceberg sinks).
+
+Non-selected streams are dropped (P4); unknown streams can either be
+ignored or surfaced via ``strict=True``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gear5_spark.pipeline.apply import TranscriptsApplier
+
+STREAM_COL = "stream"
+
+
+@dataclass
+class MultiStreamApplier:
+    """foreachBatch callable routing an interleaved feed to N tables."""
+
+    appliers: dict[str, TranscriptsApplier]
+    strict: bool = False
+    dropped_streams: set = field(default_factory=set)
+
+    def __call__(self, batch: DataFrame, batch_id: int) -> dict:
+        present = [
+            r[0]
+            for r in batch.select(STREAM_COL).distinct().collect()
+        ]
+        unknown = [s for s in present if s not in self.appliers]
+        if unknown:
+            if self.strict:
+                raise ValueError(f"changes for unselected streams: {unknown}")
+            self.dropped_streams.update(unknown)
+        results = {}
+        # deterministic routing order so crash/replay behavior is stable
+        for name in sorted(s for s in present if s in self.appliers):
+            slice_df = batch.filter(F.col(STREAM_COL) == name).drop(STREAM_COL)
+            results[name] = self.appliers[name](slice_df, batch_id)
+        return results
