@@ -421,6 +421,45 @@ class LakeTable:
         _, entries = self.write_data_files(data)
         return self.commit(entries, schema=schema)
 
+    # -------------------------------------------------------------------- DDL
+    # the reference declares a DDL action enum (TRUNCATE/CREATE/DROP/ALTER,
+    # /root/reference/types/actions.go:5-10) but never implements it; these
+    # are the real versions, each an atomic snapshot commit.
+
+    def add_column(self, name: str, dtype: T.DataType | str) -> Snapshot:
+        """ALTER TABLE ADD COLUMN (additive only; widening-lattice rules
+        apply on merge)."""
+        from gear5_spark.operators.typing import merge_schemas
+
+        if isinstance(dtype, str):
+            dtype = T._parse_datatype_string(dtype)
+        snap = self.snapshot()
+        existing = {f.name: f.dataType for f in snap.schema.fields}
+        if name in existing and existing[name] != dtype:
+            raise SchemaEvolutionError(
+                f"column {name} exists as {existing[name].simpleString()}; "
+                f"explicit type change to {dtype.simpleString()} refused "
+                "(additive evolution only)"
+            )
+        evolved, changes = merge_schemas(
+            snap.schema,
+            T.StructType(
+                list(snap.schema.fields) + [T.StructField(name, dtype, True)]
+            ),
+        )
+        if not changes:
+            return snap
+        return self.commit(files=snap.files, schema=evolved)
+
+    def truncate(self) -> Snapshot:
+        """TRUNCATE: new snapshot referencing no data files (old snapshots
+        keep the data — time travel still works until vacuumed)."""
+        return self.commit(files=[])
+
+    def drop(self) -> None:
+        """DROP TABLE: remove everything under the table dir."""
+        shutil.rmtree(self.table_dir)
+
     # ------------------------------------------------------------ utilities
     def lineage_df(self) -> DataFrame:
         """Lineage/metrics rows of every commit, as a DataFrame (A3/§FIXTURES.4)."""
