@@ -45,10 +45,7 @@ from pyspark.sql import types as T
 
 MANIFEST_DIR = "_lake"
 DATA_DIR = "data"
-# partition directory column: a copy of the bucket id used only for the
-# on-disk layout (partitionBy strips it); the real `_bucket` column stays
-# inside the parquet data so reads never depend on path inference.
-PART_COL = "_pb"
+# the bucket id travels as a real data column (never path-inferred)
 BUCKET_COL = "_bucket"
 
 CDC_LSN = "_cdc_lsn"
@@ -420,6 +417,32 @@ class LakeTable:
         data = df.select(*cols).withColumn(BUCKET_COL, self.bucket_expr(snap))
         _, entries = self.write_data_files(data)
         return self.commit(entries, schema=schema)
+
+    def lookup(self, **key_values) -> DataFrame:
+        """Bucket-pruned point lookup by full key: computes the bucket
+        driver-side and opens ONLY that bucket's files — O(1/n_buckets) of
+        the table regardless of size."""
+        snap = self.snapshot()
+        cols = snap.properties.get("bucket_columns") or [
+            snap.properties.get("bucket_column")
+        ]
+        missing = [c for c in cols if c not in key_values]
+        if missing:
+            raise ValueError(f"lookup requires bucket columns {missing}")
+        n = snap.properties["n_buckets"]
+        probe = self.spark.range(1).select(
+            F.pmod(
+                F.xxhash64(
+                    *[F.lit(key_values[c]).cast("string") for c in cols]
+                ),
+                F.lit(n),
+            ).cast("int").alias("b")
+        )
+        bucket = probe.first()["b"]
+        df = self.read(snapshot=snap, buckets=[bucket])
+        for col, val in key_values.items():
+            df = df.filter(F.col(col) == F.lit(val))
+        return df
 
     # -------------------------------------------------------------------- DDL
     # the reference declares a DDL action enum (TRUNCATE/CREATE/DROP/ALTER,

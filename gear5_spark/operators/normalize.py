@@ -163,7 +163,6 @@ def _normalize_pandas(df: DataFrame, payload_schema: T.StructType) -> DataFrame:
     meta_cols = ["lsn", "txn_id", "txn_seq", "op", "ts_ms", "conv_id", "turn_idx"]
     out_fields = [df.schema[c] for c in meta_cols] + list(payload_schema.fields)
     out_schema = T.StructType(out_fields)
-    pnames = [f.name for f in payload_schema.fields]
 
     def transform(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

