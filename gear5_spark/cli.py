@@ -137,7 +137,7 @@ def cmd_read(args) -> int:
             table, cfg.checkpoint_dir, app_id=cfg.app_id,
             delete_mode=cfg.delete_mode, normalize_mode=cfg.normalize_mode,
             salt_buckets=cfg.salt_buckets, sink_mode=cfg.sink_mode,
-            compact_every=cfg.compact_every,
+            compact_every=cfg.compact_every, quarantine_dir=cfg.quarantine_dir,
         )
         run_stream(
             spark, cfg.changelog_dir, table, cfg.checkpoint_dir,

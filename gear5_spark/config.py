@@ -30,6 +30,7 @@ class PipelineConfig:
     sink_mode: str = "cow"  # cow | mor
     compact_every: int = 8
     max_files_per_trigger: int = 4
+    quarantine_dir: str | None = None
     app_id: str = "transcripts-cdc"
     exclude_columns: list[str] = field(default_factory=list)
 
@@ -88,9 +89,12 @@ def config_spec() -> dict:
     props = {}
     required = []
     for f in fields(PipelineConfig):
-        if f.type in ("str", "int", "bool"):
-            jt = {"str": "string", "int": "integer", "bool": "boolean"}[f.type]
+        base = f.type.replace(" | None", "")
+        if base in ("str", "int", "bool"):
+            jt = {"str": "string", "int": "integer", "bool": "boolean"}[base]
             entry: dict = {"type": jt}
+            if base != f.type:
+                entry = {"type": [jt, "null"]}
         else:
             entry = {"type": "array", "items": {"type": "string"}}
         from dataclasses import MISSING

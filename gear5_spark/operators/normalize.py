@@ -164,12 +164,20 @@ def _normalize_pandas(df: DataFrame, payload_schema: T.StructType) -> DataFrame:
     out_fields = [df.schema[c] for c in meta_cols] + list(payload_schema.fields)
     out_schema = T.StructType(out_fields)
 
+    def _loads(s) -> dict:
+        # malformed JSON degrades to an empty payload (null columns), the
+        # same contract as from_json's null-on-error — never a task failure
+        if not isinstance(s, str) or not s:
+            return {}
+        try:
+            out = json.loads(s)
+            return out if isinstance(out, dict) else {}
+        except ValueError:
+            return {}
+
     def transform(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            parsed: list[dict[str, Any]] = [
-                json.loads(s) if isinstance(s, str) and s else {}
-                for s in pdf["after_json"]
-            ]
+            parsed: list[dict[str, Any]] = [_loads(s) for s in pdf["after_json"]]
             payload = pd.DataFrame.from_records(parsed, index=pdf.index)
             out = pdf[meta_cols].copy()
             for f in payload_schema.fields:

@@ -64,6 +64,7 @@ class TranscriptsApplier:
     broadcast_batch: bool = False
     sink_mode: str = "cow"  # cow | mor (delta files + periodic compaction)
     compact_every: int = 8
+    quarantine_dir: str | None = None  # dead-letter sink for unkeyable events
     applied: list[MergeStats] = field(default_factory=list)
     skipped_batches: list[int] = field(default_factory=list)
 
@@ -152,19 +153,31 @@ class TranscriptsApplier:
                 F.flatten(F.collect_set(F.json_object_keys("after_json")))
             ).alias("payload_keys"),
             F.collect_set(self.table.bucket_expr()).alias("buckets"),
+            F.sum(
+                F.when(_malformed_key(), 1).otherwise(0)
+            ).alias("malformed_count"),
         )
+        # dead-letter routing: events that cannot be keyed are excluded
+        # from the apply and (optionally) appended to a quarantine sink —
+        # they are still counted in lineage for audit
+        valid = observed.filter(~_malformed_key())
         # dedup BEFORE normalize: the JSON of an event that loses the
         # last-write-wins race is never parsed — at high update ratios
         # this cuts from_json work to O(distinct keys), not O(events).
         # Persisting the (smaller) deduped set means the merge never
         # re-scans raw input.
         deduped_raw = latest_per_key(
-            observed, KEY_COLS, salt_buckets=self.salt_buckets
+            valid, KEY_COLS, salt_buckets=self.salt_buckets
         ).persist()
         try:
-            if deduped_raw.count() == 0:
-                return None
+            n_keys = deduped_raw.count()
             stats = obs.get
+            if stats.get("malformed_count") and self.quarantine_dir:
+                batch.filter(_malformed_key()).write.mode("append").parquet(
+                    self.quarantine_dir
+                )
+            if n_keys == 0:
+                return None
 
             # discovery AFTER dedup is safe: dedup is payload-agnostic, so
             # newly observed keys just extend the schema the (already
@@ -186,6 +199,7 @@ class TranscriptsApplier:
                 "lsn_max": int(stats["lsn_max"]),
                 "event_count": int(stats["event_count"]),
                 "txn_ids_hash": format(stats["txn_hash"] & ((1 << 64) - 1), "x"),
+                "malformed_count": int(stats.get("malformed_count") or 0),
                 "snapshot_version": self.table.current_version() + 1,
             }
             affected = list(stats["buckets"] or [])
@@ -221,6 +235,12 @@ class TranscriptsApplier:
             return snap
         finally:
             deduped_raw.unpersist()
+
+
+def _malformed_key():
+    """Events that cannot participate in the keyed apply (null key parts
+    — a feed bug; the reference would emit them as-is, we quarantine)."""
+    return F.col("conv_id").isNull() | F.col("turn_idx").isNull()
 
 
 def _is_numeric(v: str) -> bool:

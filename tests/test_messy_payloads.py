@@ -87,3 +87,40 @@ def test_pandas_normalizer_coerces_messy_fields(spark, tmp_path):
     # base text/ts columns intact
     assert rows["c0"]["text"] == "a"
     assert rows["c0"]["ts"] == dt.datetime(2023, 11, 14, 22, 13, 20)
+
+
+def test_null_key_events_quarantined(spark, tmp_path):
+    """Events with null key parts are excluded from apply, counted in
+    lineage, and land in the dead-letter sink."""
+    import pyarrow as pa
+
+    log = str(tmp_path / "qlog")
+    os.makedirs(log)
+    payload = json.dumps({"role": "user", "text": "x", "ts": 1_700_000_000})
+    tbl = pa.table(
+        {
+            "lsn": [0, 1, 2, 3],
+            "txn_id": [0, 0, 0, 0],
+            "txn_seq": [0, 1, 2, 3],
+            "op": ["insert"] * 4,
+            "ts_ms": [1_700_000_000_000 + i for i in range(4)],
+            "conv_id": ["a", None, "b", None],
+            "turn_idx": [0, 0, None, 1],
+            "after_json": [payload] * 4,
+        },
+        schema=CHANGE_SCHEMA,
+    )
+    pq.write_table(tbl, os.path.join(log, "chunk-000000.parquet"))
+
+    table = bootstrap_table(spark, str(tmp_path / "qt"), n_buckets=4)
+    applier = make_applier(
+        table, str(tmp_path / "qc"), quarantine_dir=str(tmp_path / "dead")
+    )
+    applier(read_changelog(spark, log), 0)
+
+    assert table.read().count() == 1  # only the fully-keyed event applied
+    dead = spark.read.parquet(str(tmp_path / "dead"))
+    assert dead.count() == 3
+    lin = table.lineage_df().first()
+    assert lin["event_count"] == 4
+    assert table.snapshot().lineage[-1]["malformed_count"] == 3
