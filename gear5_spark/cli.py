@@ -13,6 +13,8 @@ as ``python -m gear5_spark <cmd>``:
                 (≈ protocol/read.go)
 - ``state``     print the table's txn ledger + lineage (the reference's
                 STATE messages, queryable after the fact)
+- ``compact``   fold MoR delta files into base (maintenance)
+- ``vacuum``    delete data unreachable from any snapshot
 
 All output is one JSON document per command on stdout (the reference's
 message protocol, types/catalog.go:11-20, minus the per-record stream —
@@ -173,6 +175,31 @@ def cmd_state(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    from gear5_spark.lake.mor import compact
+    from gear5_spark.lake.table import LakeTable
+
+    spark = _spark()
+    table = LakeTable(spark, args.table_dir)
+    snap = compact(table)
+    print(json.dumps({
+        "type": "LOG",
+        "message": "nothing to compact" if snap is None
+        else f"compacted to snapshot v{snap.version}",
+    }))
+    return 0
+
+
+def cmd_vacuum(args) -> int:
+    from gear5_spark.lake.table import LakeTable
+
+    spark = _spark()
+    table = LakeTable(spark, args.table_dir)
+    removed = table.vacuum()
+    print(json.dumps({"type": "LOG", "removed_commits": removed}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="gear5_spark", description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -187,6 +214,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--timeout", type=float, default=None)
     p = sub.add_parser("state")
     p.add_argument("--table-dir", required=True)
+    p = sub.add_parser("compact")
+    p.add_argument("--table-dir", required=True)
+    p = sub.add_parser("vacuum")
+    p.add_argument("--table-dir", required=True)
     args = ap.parse_args(argv)
     return {
         "spec": cmd_spec,
@@ -194,6 +225,8 @@ def main(argv: list[str] | None = None) -> int:
         "discover": cmd_discover,
         "read": cmd_read,
         "state": cmd_state,
+        "compact": cmd_compact,
+        "vacuum": cmd_vacuum,
     }[args.cmd](args)
 
 
