@@ -63,10 +63,15 @@ def _fresh_spark(cores: int):
         active.stop()
     from gear5_spark.session import get_spark
 
+    # shuffle partitions must scale with DATA, not cores: at N_EVENTS=16M
+    # the dedup shuffle is ~8 GB — cores-many partitions means GB-scale
+    # per-task sorts that spill (measured 2-3x slowdown at local[2..8]).
+    # ~64 partitions keeps tasks ~100 MB at the default sizes.
+    parts = max(cores, int(os.environ.get("SPARK_GRAFT_SHUFFLE", "64")))
     return get_spark(
         app_name=f"gear5-bench-{cores}",
         master=f"local[{cores}]",
-        shuffle_partitions=cores,
+        shuffle_partitions=parts,
         extra_conf={"spark.local.dir": f"{BENCH_WORK_ROOT}/spark-tmp"},
     )
 
@@ -262,7 +267,7 @@ def main() -> None:
                     "n_events": N_EVENTS,
                     "master_high": f"local[{CPUS}]",
                     "master_low": f"local[{LOW_CPUS}]",
-                    "shuffle_partitions": "=cores",
+                    "shuffle_partitions": "max(cores, 64)",
                     "n_buckets": 32,
                     "aqe": True,
                     "seed": SEED,
