@@ -199,9 +199,11 @@ def _q_discover_sample(spark, sf_dir):
 
 
 def _q_array_wrap(spark, sf_dir):
-    # F6: scalar -> 1-element array wrap (reformat.go:96-102)
+    # F6: scalar -> 1-element array wrap (reformat.go:96-102). The wrapped
+    # array is emitted as canonical JSON so the value-hash comparison has a
+    # scalar to sort on (raw array columns are unhashable in the harness).
     return _t(spark, sf_dir, "documents").select(
-        "doc_id", F.array("lang").alias("lang_arr")
+        "doc_id", F.to_json(F.array("lang")).alias("lang_arr")
     )
 
 
@@ -301,9 +303,33 @@ def _q_minhash_lsh_pairs(spark, sf_dir):
 
 
 def _q_ngram_jaccard(spark, sf_dir):
+    # exact word-3-gram Jaccard over an explicit (bounded) candidate set —
+    # oracle-checked against DuckDB's exact shingle-set computation. The
+    # scale path (LSH candidates instead of all-pairs) is exercised by
+    # lsh_jaccard_dedup below.
     from gear5_spark.text.dedupe import ngram_jaccard
 
-    return ngram_jaccard(_t(spark, sf_dir, "documents"), threshold=0.5)
+    docs = _t(spark, sf_dir, "documents")
+    sub = docs.filter(F.col("doc_id") < 500)
+    cands = (
+        sub.select(F.col("doc_id").alias("doc_id_a"))
+        .crossJoin(sub.select(F.col("doc_id").alias("doc_id_b")))
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+    )
+    return ngram_jaccard(docs, candidates=cands, threshold=0.3)
+
+
+def _q_lsh_jaccard_dedup(spark, sf_dir):
+    # end-to-end MinHash-LSH near-dup detection, oracle-checked: LSH
+    # proposes candidates (banded equi-join, never all-pairs), exact
+    # Jaccard >= 0.8 confirms. The DuckDB oracle computes the TRUE >=0.8
+    # pair set over all pairs — equality means LSH recall was 1.0 on this
+    # corpus (16 bands x 2 rows: P[miss | s>=0.8] < 1e-7 per pair).
+    from gear5_spark.text.dedupe import lsh_near_duplicates, ngram_jaccard
+
+    docs = _t(spark, sf_dir, "documents")
+    cands = lsh_near_duplicates(docs, num_hashes=32, bands=16)
+    return ngram_jaccard(docs, candidates=cands, threshold=0.8)
 
 
 def _q_simhash_pairs(spark, sf_dir):
@@ -319,28 +345,95 @@ def _q_lsh_cosine_topk(spark, sf_dir):
     return lsh_cosine_topk(emb, emb.filter(F.col("vec_id") < 20), k=3)
 
 
+def _derived_changes(spark, sf_dir):
+    """Deterministic change feed derived from the (oracle-visible) events
+    table, so the full engine replay is verifiable by a DuckDB
+    last-write-wins fold over the same rows: key = (conv-<user_id>,
+    props.k % 8), lsn = event_id, 'error' events are deletes."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    payload = F.to_json(
+        F.struct(
+            F.col("event_type").alias("role"),
+            F.concat(F.lit("msg-"), F.col("event_id")).alias("text"),
+            F.unix_seconds(F.col("ts")).alias("ts"),
+        )
+    )
+    op = (
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .when(F.col("event_type") == "click", F.lit("insert"))
+        .otherwise(F.lit("update"))
+    )
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.select(
+        F.col("event_id").alias("lsn"),
+        (F.col("event_id") / 5).cast("long").alias("txn_id"),
+        F.pmod(F.col("event_id"), 5).cast("int").alias("txn_seq"),
+        op.alias("op"),
+        F.unix_millis(F.col("ts")).alias("ts_ms"),
+        F.concat(F.lit("conv-"), F.col("user_id")).alias("conv_id"),
+        F.pmod(k, 8).cast("int").alias("turn_idx"),
+        F.when(op == "delete", F.lit(None).cast("string"))
+        .otherwise(payload)
+        .alias("after_json"),
+    )
+
+
 def _q_cdc_replay(spark, sf_dir):
-    return _cdc_replay(spark, sf_dir)
+    # the FULL engine apply path (observe-stats -> dedup -> normalize ->
+    # bucketed MERGE -> atomic commit) on a change feed derived from the
+    # events table; the DuckDB oracle folds the same feed with a window
+    # function — every row of the final table state is value-checked.
+    import shutil
+    import tempfile
+
+    from gear5_spark.pipeline.runner import bootstrap_table, make_applier
+
+    changes = _derived_changes(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="gear5-oreplay-")
+    try:
+        table = bootstrap_table(spark, os.path.join(work, "t"), n_buckets=8)
+        applier = make_applier(
+            table, os.path.join(work, "c"), app_id="oracle-replay",
+            order_guard=False,
+        )
+        applier(changes, 0)
+        df = table.read().select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            "text",
+            "ts",
+            F.col("_cdc_lsn").cast("long").alias("last_lsn"),
+        )
+        out = spark.createDataFrame(df.collect(), df.schema)
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 def _q_snapshot_diff(spark, sf_dir):
     # lake incremental read: row-level change set between two committed
-    # versions of the transcripts table (insert/update/delete per key)
+    # versions of the transcripts table (insert/update/delete per key),
+    # oracle-checked by diffing the two window-function folds in DuckDB.
     import shutil
     import tempfile
 
-    from gen_fixtures import generate_changelog
     from gear5_spark.lake.diff import table_diff
-    from gear5_spark.pipeline.runner import bootstrap_table, replay_batch
+    from gear5_spark.pipeline.runner import bootstrap_table, make_applier
 
-    work = tempfile.mkdtemp(prefix="gear5-diff-")
+    changes = _derived_changes(spark, sf_dir)
+    cut = changes.agg(F.max("lsn")).first()[0] // 2
+    work = tempfile.mkdtemp(prefix="gear5-odiff-")
     try:
-        log = os.path.join(work, "log")
-        generate_changelog(log, n_events=2_000, n_convs=50, chunk_rows=500)
         table = bootstrap_table(spark, os.path.join(work, "t"), n_buckets=8)
-        replay_batch(spark, log, table, os.path.join(work, "c"), max_lsn=999)
+        applier = make_applier(
+            table, os.path.join(work, "c"), app_id="oracle-diff",
+        )
+        applier(changes.filter(F.col("lsn") <= cut), 0)
         v1 = table.current_version()
-        replay_batch(spark, log, table, os.path.join(work, "c"), min_lsn=999)
+        applier(changes.filter(F.col("lsn") > cut), 1)
         diff = table_diff(table, v1).select(
             "conv_id", "turn_idx", "change", "text"
         )
@@ -364,7 +457,7 @@ def _q_media_dedup(spark, sf_dir):
     from gear5_spark.multimodal.binary import dedupe_media, synthesize_media
 
     media = synthesize_media(spark, n=100)
-    return dedupe_media(media.union(media.limit(10)))
+    return dedupe_media(media.union(media.filter(F.col("media_id") < 10)))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -395,6 +488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norm": _q_embedding_norm,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "ngram_jaccard": _q_ngram_jaccard,
+        "lsh_jaccard_dedup": _q_lsh_jaccard_dedup,
         "simhash_pairs": _q_simhash_pairs,
         "lsh_cosine_topk": _q_lsh_cosine_topk,
         "cdc_replay": _q_cdc_replay,
@@ -479,7 +573,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, event_type, user_id FROM events "
             "ORDER BY event_id LIMIT 100"
         ),
-        "array_wrap": "SELECT doc_id, [lang] AS lang_arr FROM documents",
+        "array_wrap": (
+            "SELECT doc_id, to_json([lang]) AS lang_arr FROM documents"
+        ),
         "cursor_greatest": (
             "SELECT event_type, greatest(max(ts), "
             "TIMESTAMP '2024-01-15 00:00:00') AS effective_cursor "
@@ -553,7 +649,105 @@ def oracle_sql() -> dict[str, str]:
             "list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
             "'sum')), 6) AS l2_norm FROM embeddings"
         ),
-        # minhash_lsh_pairs / ngram_jaccard / simhash_pairs /
-        # lsh_cosine_topk / cdc_replay: engine-native (hash-family- and
-        # engine-specific) — rows-only checks by design.
+        "ngram_jaccard": _JACCARD_SQL.format(
+            docs_filter="WHERE doc_id < 500", threshold="0.3"
+        ),
+        "lsh_jaccard_dedup": _JACCARD_SQL.format(
+            docs_filter="", threshold="0.8"
+        ),
+        "cdc_replay": (
+            f"WITH {_DERIVED_CHANGES_SQL}, "
+            "w AS (SELECT *, row_number() OVER (PARTITION BY conv_id, "
+            "turn_idx ORDER BY lsn DESC, txn_seq DESC) AS rn FROM ch) "
+            "SELECT conv_id, turn_idx, role, text, "
+            "make_timestamp(ts_s * 1000000) AS ts, lsn AS last_lsn "
+            "FROM w WHERE rn = 1 AND op <> 'delete'"
+        ),
+        "snapshot_diff": (
+            f"WITH {_DERIVED_CHANGES_SQL}, "
+            "cut AS (SELECT max(event_id) // 2 AS c FROM events), "
+            "s1 AS (SELECT * FROM (SELECT *, row_number() OVER ("
+            "PARTITION BY conv_id, turn_idx "
+            "ORDER BY lsn DESC, txn_seq DESC) AS rn FROM ch "
+            "WHERE lsn <= (SELECT c FROM cut)) "
+            "WHERE rn = 1 AND op <> 'delete'), "
+            "s2 AS (SELECT * FROM (SELECT *, row_number() OVER ("
+            "PARTITION BY conv_id, turn_idx "
+            "ORDER BY lsn DESC, txn_seq DESC) AS rn FROM ch) "
+            "WHERE rn = 1 AND op <> 'delete') "
+            "SELECT coalesce(s1.conv_id, s2.conv_id) AS conv_id, "
+            "coalesce(s1.turn_idx, s2.turn_idx) AS turn_idx, "
+            "CASE WHEN s1.conv_id IS NULL THEN 'insert' "
+            "WHEN s2.conv_id IS NULL THEN 'delete' "
+            "WHEN s1.lsn <> s2.lsn THEN 'update' END AS change, "
+            "s2.text AS text "
+            "FROM s1 FULL OUTER JOIN s2 "
+            "ON s1.conv_id = s2.conv_id AND s1.turn_idx = s2.turn_idx "
+            "WHERE (CASE WHEN s1.conv_id IS NULL THEN 'insert' "
+            "WHEN s2.conv_id IS NULL THEN 'delete' "
+            "WHEN s1.lsn <> s2.lsn THEN 'update' END) IS NOT NULL"
+        ),
+        "media_features": (
+            f"WITH m AS ({_MEDIA_SQL}) "
+            "SELECT media_id, kind, CAST(length(s) AS INT) AS n_bytes, "
+            "sha256(s) AS sha256 FROM m"
+        ),
+        "media_dedup": (
+            f"WITH m AS ({_MEDIA_SQL}), "
+            "u AS (SELECT * FROM m UNION ALL "
+            "SELECT * FROM m WHERE media_id < 10) "
+            "SELECT sha256(s) AS content_sha256, "
+            "min(media_id) AS keep_media_id, count(*) AS dup_count "
+            "FROM u GROUP BY 1"
+        ),
+        # minhash_lsh_pairs / simhash_pairs / lsh_cosine_topk: raw LSH
+        # candidate sets are hash-family-specific (Spark xxhash64) —
+        # rows-only here; their quality is verified by (a) the
+        # lsh_jaccard_dedup oracle above (equality proves MinHash-LSH
+        # recall 1.0 on this corpus) and (b) recall self-checks in
+        # tests/test_recall.py and the bench recall metrics.
     }
+
+
+# change feed derived from the events table — MUST stay in lockstep with
+# _derived_changes() above.
+_DERIVED_CHANGES_SQL = (
+    "ch AS (SELECT event_id AS lsn, event_id // 5 AS txn_id, "
+    "event_id % 5 AS txn_seq, "
+    "CASE WHEN event_type = 'error' THEN 'delete' "
+    "WHEN event_type = 'click' THEN 'insert' ELSE 'update' END AS op, "
+    "'conv-' || user_id AS conv_id, "
+    "CAST(json_extract_string(props, '$.k') AS INT) % 8 AS turn_idx, "
+    "event_type AS role, 'msg-' || event_id AS text, "
+    "epoch_us(ts) // 1000000 AS ts_s "
+    "FROM events "
+    "WHERE user_id IS NOT NULL "
+    "AND CAST(json_extract_string(props, '$.k') AS INT) IS NOT NULL)"
+)
+
+# word-3-gram shingle Jaccard (exact) — MUST stay in lockstep with
+# gear5_spark.text.dedupe.shingles()/ngram_jaccard().
+_JACCARD_SQL = (
+    "WITH t AS (SELECT doc_id, "
+    "string_split_regex(trim(lower(text)), '\\s+') AS toks "
+    "FROM documents {docs_filter}), "
+    "s AS (SELECT doc_id, list_distinct(list_transform("
+    "generate_series(1, greatest(len(toks) - 2, 1)), "
+    "i -> array_to_string(toks[i:i+2], ' '))) AS sh FROM t) "
+    "SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, "
+    "round(len(list_intersect(a.sh, b.sh)) / "
+    "len(list_distinct(a.sh || b.sh)), 6) AS jaccard "
+    "FROM s a, s b WHERE a.doc_id < b.doc_id "
+    "AND len(list_intersect(a.sh, b.sh)) / "
+    "len(list_distinct(a.sh || b.sh)) >= {threshold}"
+)
+
+# deterministic fake media — MUST stay in lockstep with
+# gear5_spark.multimodal.binary.synthesize_media(seed=42, n=100).
+_MEDIA_SQL = (
+    "SELECT i AS media_id, "
+    "CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "
+    "ELSE 'video' END AS kind, "
+    "'42:' || i || ':' || repeat(sha256('42:' || i), 4 + i % 13) AS s "
+    "FROM generate_series(0, 99) t(i)"
+)

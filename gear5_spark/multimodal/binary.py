@@ -57,13 +57,18 @@ FEATURE_SCHEMA = T.StructType(
 
 def synthesize_media(spark, n: int = 100, seed: int = 42) -> DataFrame:
     """Deterministic fake media table (no external data): payload bytes
-    derived from sha256(seed, id)."""
+    are an ASCII string derived from sha256 hex digests, so an external
+    SQL oracle can recompute content hashes/sizes
+    (``sha256('<seed>:<i>:' || repeat(sha256('<seed>:<i>'), 4+i%13))``).
+    Real deployments swap this for actual image/audio bytes; everything
+    downstream treats the column as opaque binary either way."""
     kinds = ["image", "audio", "video"]
     mimes = {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}
     rows = []
     for i in range(n):
         kind = kinds[i % 3]
-        blob = hashlib.sha256(f"{seed}:{i}".encode()).digest() * (4 + i % 13)
+        hexd = hashlib.sha256(f"{seed}:{i}".encode()).hexdigest()
+        blob = (f"{seed}:{i}:" + hexd * (4 + i % 13)).encode("ascii")
         meta = (
             (64 + i % 32, 64 + i % 24, None)
             if kind == "image"
