@@ -253,6 +253,53 @@ def main() -> None:
         results[name] = round(time.perf_counter() - t0, 3)
         assert n >= 0
 
+    # --- recall self-measurement for the approximate operators (the
+    # rows-only entries of the correctness gate): quality is MEASURED
+    # against the exact answer, never assumed.
+    from pyspark.sql import functions as F
+
+    from gear5_spark.sim.ann import cosine_topk, lsh_cosine_topk
+    from gear5_spark.text.dedupe import lsh_near_duplicates, ngram_jaccard
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    q = emb.filter(F.col("vec_id") < 20)
+    true_nn = {
+        (r.vec_id, r.neighbor_id) for r in cosine_topk(emb, q, k=3).collect()
+    }
+    approx_nn = {
+        (r.vec_id, r.neighbor_id)
+        for r in lsh_cosine_topk(emb, q, k=3).collect()
+    }
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    sub = docs.filter(F.col("doc_id") < 500)  # bounded all-pairs oracle
+    ids = sub.select("doc_id")
+    all_cands = (
+        ids.select(F.col("doc_id").alias("doc_id_a"))
+        .crossJoin(ids.select(F.col("doc_id").alias("doc_id_b")))
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+    )
+    true_pairs = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in ngram_jaccard(sub, candidates=all_cands, threshold=0.8)
+        .select("doc_id_a", "doc_id_b")
+        .collect()
+    }
+    lsh_pairs = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in lsh_near_duplicates(sub, num_hashes=32, bands=16).collect()
+    }
+    recall = {
+        "ann_recall_at_3": round(len(true_nn & approx_nn) / len(true_nn), 3)
+        if true_nn
+        else None,
+        "lsh_pair_recall_at_08": round(
+            len(true_pairs & lsh_pairs) / len(true_pairs), 3
+        )
+        if true_pairs
+        else None,
+        "lsh_true_pairs": len(true_pairs),
+    }
+
     total = round(sum(results.values()), 3)
     print(
         json.dumps(
@@ -263,6 +310,7 @@ def main() -> None:
                 "queries": results,
                 "sf": SF_DIR,
                 "scaling": scaling,
+                "recall": recall,
                 "config": {
                     "n_events": N_EVENTS,
                     "master_high": f"local[{CPUS}]",

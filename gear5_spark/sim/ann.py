@@ -86,6 +86,20 @@ def _hyperplane(dim: int, plane: int, seed: int = 7):
     )
 
 
+def _bucket_expr(vec_col: str, n_planes: int, dim: int, seed: int):
+    """Sign-LSH bucket id as a pure Column: bit p = sign(v . h_p)."""
+    bits = [
+        F.when(_dot(F.col(vec_col), _hyperplane(dim, p, seed)) >= 0, F.lit(1 << p))
+        .otherwise(F.lit(0))
+        .cast("long")
+        for p in range(n_planes)
+    ]
+    bucket = bits[0]
+    for b in bits[1:]:
+        bucket = bucket.bitwiseOR(b)
+    return bucket
+
+
 def sign_lsh_buckets(
     emb: DataFrame,
     n_planes: int = 8,
@@ -96,48 +110,97 @@ def sign_lsh_buckets(
     """Random-hyperplane (sign) LSH bucket id per vector: bit p of the
     bucket = sign(v . h_p). Cosine-similar vectors collide with high
     probability."""
-    bits = [
-        F.when(_dot(F.col(vec_col), _hyperplane(dim, p, seed)) >= 0, F.lit(1 << p))
-        .otherwise(F.lit(0))
-        .cast("long")
-        for p in range(n_planes)
+    return emb.withColumn(
+        "lsh_bucket", _bucket_expr(vec_col, n_planes, dim, seed)
+    )
+
+
+def _table_buckets(
+    emb: DataFrame,
+    id_col: str,
+    out_id: str,
+    n_planes: int,
+    n_tables: int,
+    dim: int,
+    vec_col: str,
+    seed: int,
+) -> DataFrame:
+    """(id, table, bucket) assignment across L independent hash tables
+    (OR-amplification): table t draws its hyperplanes from a disjoint
+    seed stream, so a true neighbor missed by one table is caught by
+    another — the standard LSH recall/candidate-count dial."""
+    tables = [
+        F.struct(
+            F.lit(t).alias("tbl"),
+            _bucket_expr(vec_col, n_planes, dim, seed + 7919 * t).alias("bkt"),
+        )
+        for t in range(n_tables)
     ]
-    bucket = bits[0]
-    for b in bits[1:]:
-        bucket = bucket.bitwiseOR(b)
-    return emb.withColumn("lsh_bucket", bucket)
+    return emb.select(
+        F.col(id_col).alias(out_id), F.explode(F.array(*tables)).alias("tb")
+    ).select(out_id, F.col("tb.tbl").alias("tbl"), F.col("tb.bkt").alias("bkt"))
 
 
 def lsh_cosine_topk(
     emb: DataFrame,
     queries: DataFrame,
     k: int = 3,
-    n_planes: int = 6,
+    n_planes: int = 4,
+    n_tables: int = 8,
     dim: int = 64,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    probe_radius: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's LSH bucket,
-    then exact cosine rank within candidates. The bucket equi-join
-    replaces the cross join — this is the 10^9-vector path."""
-    base = sign_lsh_buckets(emb, n_planes, dim, vec_col)
-    qb = sign_lsh_buckets(queries, n_planes, dim, vec_col).select(
-        F.col(id_col).alias("q_id"),
-        F.col(vec_col).alias("q_vec"),
-        "lsh_bucket",
+    """Approximate top-k: candidates restricted to the query's LSH
+    buckets, then exact cosine rank within candidates.
+
+    Recall comes from two standard amplifiers: ``n_tables`` independent
+    hash tables (OR-amplification — a neighbor missed by one table's
+    planes is caught by another's) and multi-probe (``probe_radius=1``
+    also visits every bucket one sign-flip away, catching
+    boundary-adjacent neighbors). Both multiply only the small,
+    broadcast query side; the base is hashed once per table and joined
+    by (table, bucket) — an equi-join, never a cross join. This is the
+    10^9-vector path: candidate fraction ~= n_tables * probes /
+    2^n_planes, tuned per corpus; recall is measured against the exact
+    answer in tests/test_recall.py and bench.py (never assumed)."""
+    tb = _table_buckets(
+        emb, id_col, "b_id", n_planes, n_tables, dim, vec_col, seed=7
     )
-    b = base.select(
-        F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"), "lsh_bucket"
+    tq = _table_buckets(
+        queries, id_col, "q_id", n_planes, n_tables, dim, vec_col, seed=7
     )
-    scored = b.join(
-        F.broadcast(qb), ["lsh_bucket"]
-    ).filter(F.col("q_id") != F.col("b_id")).select(
-        F.col("q_id").alias("vec_id"),
-        F.col("b_id").alias("neighbor_id"),
-        (
-            _dot(F.col("q_vec"), F.col("b_vec"))
-            / (_norm(F.col("q_vec")) * _norm(F.col("b_vec")))
-        ).alias("cosine"),
+    if probe_radius >= 1:
+        probes = F.array(
+            F.col("bkt"),
+            *[F.col("bkt").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)],
+        )
+        tq = tq.select("q_id", "tbl", F.explode(probes).alias("bkt"))
+    # candidate ids first, THEN one cosine per distinct pair — dedup
+    # before the dot product so overlapping tables never re-score
+    cand = (
+        F.broadcast(tq)
+        .join(tb, ["tbl", "bkt"])
+        .filter(F.col("q_id") != F.col("b_id"))
+        .select("q_id", "b_id")
+        .distinct()
+    )
+    qv = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    bv = emb.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"))
+    scored = (
+        cand.join(F.broadcast(qv), "q_id")
+        .join(bv, "b_id")
+        .select(
+            F.col("q_id").alias("vec_id"),
+            F.col("b_id").alias("neighbor_id"),
+            (
+                _dot(F.col("q_vec"), F.col("b_vec"))
+                / (_norm(F.col("q_vec")) * _norm(F.col("b_vec")))
+            ).alias("cosine"),
+        )
     )
     w = W.partitionBy("vec_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()

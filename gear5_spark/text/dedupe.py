@@ -76,21 +76,76 @@ def minhash_signatures(
     )
 
 
+def _banded_pairs(banded: DataFrame, max_bucket_size: int) -> DataFrame:
+    """Candidate pairs from a (doc_id, band, bucket) assignment with the
+    hot-bucket blowup bounded: buckets up to ``max_bucket_size`` emit
+    all pairs (exact within-bucket recall); larger buckets degrade to
+    *star* pairing — every member pairs with the bucket's min doc_id.
+    A star is a spanning tree of the bucket, so connected-component
+    dedup loses nothing, while a degenerate bucket of n near-identical
+    docs costs O(n) instead of O(n^2) pairs. Nothing is silently
+    dropped; ``lsh_bucket_stats`` reports which buckets degraded."""
+    sized = banded.join(
+        banded.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.min("doc_id").alias("_min_doc"),
+        ),
+        ["band", "bucket"],
+    )
+    small = sized.filter(F.col("_n") <= max_bucket_size)
+    a, b = small.alias("a"), small.alias("b")
+    all_pairs = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_id_a"),
+        F.col("b.doc_id").alias("doc_id_b"),
+    )
+    star_pairs = (
+        sized.filter(
+            (F.col("_n") > max_bucket_size)
+            & (F.col("doc_id") != F.col("_min_doc"))
+        )
+        .select(
+            F.col("_min_doc").alias("doc_id_a"),
+            F.col("doc_id").alias("doc_id_b"),
+        )
+    )
+    return all_pairs.unionByName(star_pairs).distinct()
+
+
 def lsh_near_duplicates(
     docs: DataFrame,
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
+    max_bucket_size: int = 1000,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: docs sharing any band bucket.
 
     rows-per-band R = num_hashes / bands; larger R = stricter. Returns
     (doc_id_a, doc_id_b) with a < b, distinct. The band join is an
     equi-join on (band_idx, band_hash) — shuffle is proportional to docs,
-    and bucket-local pair expansion is bounded by bucket size."""
+    never all-pairs — and buckets above ``max_bucket_size`` degrade to
+    linear star pairing (see :func:`_banded_pairs`), so a pathological
+    corpus of near-identical docs cannot trigger a quadratic blowup."""
+    banded = lsh_band_buckets(docs, num_hashes, bands, shingle_n)
+    return _banded_pairs(banded, max_bucket_size)
+
+
+def lsh_band_buckets(
+    docs: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(doc_id, band, bucket) LSH assignment — the shared prefix of pair
+    generation and bucket diagnostics."""
     r = num_hashes // bands
     sigs = minhash_signatures(docs, num_hashes, shingle_n)
-    banded = sigs.select(
+    return sigs.select(
         "doc_id",
         F.explode(
             F.array(
@@ -114,22 +169,19 @@ def lsh_near_duplicates(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
-    a = banded.alias("a")
-    b = banded.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_id_a"),
-            F.col("b.doc_id").alias("doc_id_b"),
-        )
-        .distinct()
+
+
+def lsh_bucket_stats(
+    banded: DataFrame, max_bucket_size: int = 1000
+) -> DataFrame:
+    """Buckets that exceeded ``max_bucket_size`` (and thus degraded to
+    star pairing), with sizes — surface this next to the pair output so
+    caps are never silent."""
+    return (
+        banded.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .filter(F.col("bucket_size") > max_bucket_size)
     )
-    return pairs
 
 
 def ngram_jaccard(
@@ -208,13 +260,21 @@ def simhash(docs: DataFrame, shingle_n: int = 2) -> DataFrame:
     return votes.select("doc_id", sig.alias("simhash"))
 
 
-def simhash_near_duplicates(docs: DataFrame, shingle_n: int = 2) -> DataFrame:
+def simhash_near_duplicates(
+    docs: DataFrame, shingle_n: int = 2, max_bucket_size: int = 1000
+) -> DataFrame:
     """SimHash near-dup candidates: equal 16-bit quarter bands (LSH over
-    bit chunks), then exact hamming distance <= 3 filter via bit_count."""
+    bit chunks), then exact hamming distance <= 3 filter via bit_count.
+
+    Recall guarantee: <=3 differing bits can touch at most 3 of the 4
+    bands, so every true pair shares at least one band (pigeonhole) —
+    band-LSH recall is exactly 1.0 for the hamming<=3 predicate.
+    Hot buckets degrade to star pairing like MinHash-LSH (the star
+    centre of an over-full bucket shares that whole band, so hamming<=
+    3 members stay connected through it for component-dedup purposes)."""
     sigs = simhash(docs, shingle_n)
     banded = sigs.select(
         "doc_id",
-        "simhash",
         F.explode(
             F.array(
                 *[
@@ -222,28 +282,29 @@ def simhash_near_duplicates(docs: DataFrame, shingle_n: int = 2) -> DataFrame:
                         F.lit(q).alias("band"),
                         F.shiftright("simhash", q * 16)
                         .bitwiseAND(F.lit(0xFFFF))
-                        .alias("chunk"),
+                        .alias("bucket"),
                     )
                     for q in range(4)
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "simhash", "bb.band", "bb.chunk")
-    a, b = banded.alias("a"), banded.alias("b")
+    ).select("doc_id", "bb.band", "bb.bucket")
+    pairs = _banded_pairs(banded, max_bucket_size)
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("simhash").alias("_sig_a")
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("simhash").alias("_sig_b")
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        pairs.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
         .select(
-            F.col("a.doc_id").alias("doc_id_a"),
-            F.col("b.doc_id").alias("doc_id_b"),
+            "doc_id_a",
+            "doc_id_b",
             F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+                F.col("_sig_a").bitwiseXOR(F.col("_sig_b"))
             ).alias("hamming"),
         )
-        .distinct()
         .filter(F.col("hamming") <= 3)
     )
