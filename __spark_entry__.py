@@ -234,6 +234,22 @@ def _q_windowed_counts(spark, sf_dir):
     return counts.select("window_start", "op", "event_count")
 
 
+def _q_url_decode(spark, sf_dir):
+    # F10: URL-decode object-store path segments
+    # (s3/internal/reader/parquet.go:217-223)
+    from gear5_spark.operators.normalize import decode_url
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        decode_url(
+            F.concat(F.col("source"), F.lit("%2F"), F.col("lang"))
+        ).alias("decoded_path"),
+        decode_url(
+            F.concat(F.col("source"), F.lit("%20"), F.col("lang"))
+        ).alias("decoded_name"),
+    )
+
+
 def _q_stream_id(spark, sf_dir):
     # F11: namespace.name stream identifier
     return (
@@ -413,6 +429,58 @@ def _q_cdc_replay(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _q_payload_inference(spark, sf_dir):
+    # ST7 + typeutils/datatype.go parity, oracle-checked end-to-end: the
+    # feed starts with only the base payload registry; `flag` (JSON bool),
+    # `num` (JSON int) and `seen` (date-parseable string) are DISCOVERED
+    # mid-replay, typed by the 100-value sample inference, and land as
+    # boolean/long/timestamp columns the DuckDB oracle recomputes.
+    import shutil
+    import tempfile
+
+    from gear5_spark.pipeline.runner import bootstrap_table, make_applier
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    k = F.get_json_object("props", "$.k").cast("int")
+    payload = F.to_json(
+        F.struct(
+            F.col("event_type").alias("role"),
+            F.concat(F.lit("msg-"), F.col("event_id")).alias("text"),
+            F.unix_seconds(F.col("ts")).alias("ts"),
+            (F.pmod(k, 2) == 0).alias("flag"),
+            k.cast("long").alias("num"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("seen"),
+        )
+    )
+    changes = ev.select(
+        F.col("event_id").alias("lsn"),
+        (F.col("event_id") / 5).cast("long").alias("txn_id"),
+        F.pmod(F.col("event_id"), 5).cast("int").alias("txn_seq"),
+        F.lit("insert").alias("op"),
+        F.unix_millis(F.col("ts")).alias("ts_ms"),
+        F.concat(F.lit("conv-"), F.col("user_id")).alias("conv_id"),
+        F.pmod(k, 8).cast("int").alias("turn_idx"),
+        payload.alias("after_json"),
+    )
+    work = tempfile.mkdtemp(prefix="gear5-oinfer-")
+    try:
+        table = bootstrap_table(spark, os.path.join(work, "t"), n_buckets=8)
+        applier = make_applier(
+            table, os.path.join(work, "c"), app_id="oracle-infer",
+            order_guard=False,
+        )
+        applier(changes, 0)
+        df = table.read().select(
+            "conv_id", "turn_idx", "role", "text", "ts", "flag", "num", "seen"
+        )
+        out = spark.createDataFrame(df.collect(), df.schema)
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def _q_snapshot_diff(spark, sf_dir):
     # lake incremental read: row-level change set between two committed
     # versions of the transcripts table (insert/update/delete per key),
@@ -478,6 +546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "array_wrap": _q_array_wrap,
         "cursor_greatest": _q_cursor_greatest,
         "windowed_counts": _q_windowed_counts,
+        "url_decode": _q_url_decode,
         "stream_id": _q_stream_id,
         "exact_dedup": _q_exact_dedup,
         "token_count": _q_token_count,
@@ -492,6 +561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "lsh_cosine_topk": _q_lsh_cosine_topk,
         "cdc_replay": _q_cdc_replay,
+        "payload_inference": _q_payload_inference,
         "snapshot_diff": _q_snapshot_diff,
         "media_features": _q_media_features,
         "media_dedup": _q_media_dedup,
@@ -565,6 +635,10 @@ def oracle_sql() -> dict[str, str]:
         "timestamp_roundtrip": (
             "SELECT event_id, strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'), "
             "'%Y-%m-%d %H:%M:%S') AS parsed FROM events"
+        ),
+        "url_decode": (
+            "SELECT doc_id, source || '/' || lang AS decoded_path, "
+            "source || ' ' || lang AS decoded_name FROM documents"
         ),
         "stream_id": (
             "SELECT DISTINCT source || '.' || lang AS stream_id FROM documents"
@@ -662,6 +736,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT conv_id, turn_idx, role, text, "
             "make_timestamp(ts_s * 1000000) AS ts, lsn AS last_lsn "
             "FROM w WHERE rn = 1 AND op <> 'delete'"
+        ),
+        "payload_inference": (
+            "WITH ch AS (SELECT event_id AS lsn, event_id % 5 AS txn_seq, "
+            "'conv-' || user_id AS conv_id, "
+            "CAST(json_extract_string(props, '$.k') AS INT) % 8 AS turn_idx, "
+            "event_type AS role, 'msg-' || event_id AS text, "
+            "epoch_us(ts) // 1000000 AS ts_s, "
+            "CAST(json_extract_string(props, '$.k') AS INT) % 2 = 0 AS flag, "
+            "CAST(json_extract_string(props, '$.k') AS BIGINT) AS num, "
+            "strftime(ts, '%Y-%m-%d %H:%M:%S') AS seen "
+            "FROM events WHERE user_id IS NOT NULL "
+            "AND CAST(json_extract_string(props, '$.k') AS INT) IS NOT NULL), "
+            "w AS (SELECT *, row_number() OVER (PARTITION BY conv_id, "
+            "turn_idx ORDER BY lsn DESC, txn_seq DESC) AS rn FROM ch) "
+            "SELECT conv_id, turn_idx, role, text, "
+            "make_timestamp(ts_s * 1000000) AS ts, flag, num, "
+            "strptime(seen, '%Y-%m-%d %H:%M:%S') AS seen "
+            "FROM w WHERE rn = 1"
         ),
         "snapshot_diff": (
             f"WITH {_DERIVED_CHANGES_SQL}, "

@@ -133,6 +133,7 @@ def cmd_read(args) -> int:
             spark, cfg.changelog_dir, table, cfg.checkpoint_dir,
             app_id=cfg.app_id, salt_buckets=cfg.salt_buckets,
             normalize_mode=cfg.normalize_mode,
+            exclude_columns=cfg.exclude_columns,
         )
     else:
         applier = make_applier(
@@ -140,6 +141,7 @@ def cmd_read(args) -> int:
             delete_mode=cfg.delete_mode, normalize_mode=cfg.normalize_mode,
             salt_buckets=cfg.salt_buckets, sink_mode=cfg.sink_mode,
             compact_every=cfg.compact_every, quarantine_dir=cfg.quarantine_dir,
+            exclude_columns=cfg.exclude_columns,
         )
         run_stream(
             spark, cfg.changelog_dir, table, cfg.checkpoint_dir,
@@ -195,8 +197,9 @@ def cmd_vacuum(args) -> int:
 
     spark = _spark()
     table = LakeTable(spark, args.table_dir)
-    removed = table.vacuum()
-    print(json.dumps({"type": "LOG", "removed_commits": removed}))
+    removed = table.vacuum(retention_sec=args.retention_sec)
+    print(json.dumps({"type": "LOG", "removed_commits": removed,
+                      "retention_sec": args.retention_sec}))
     return 0
 
 
@@ -218,6 +221,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--table-dir", required=True)
     p = sub.add_parser("vacuum")
     p.add_argument("--table-dir", required=True)
+    p.add_argument("--retention-sec", type=float, default=3600.0)
     args = ap.parse_args(argv)
     return {
         "spec": cmd_spec,

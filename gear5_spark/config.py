@@ -67,6 +67,11 @@ class PipelineConfig:
             problems.append("salt_buckets must be >= 1")
         if self.sink_mode not in ("cow", "mor"):
             problems.append(f"sink_mode must be cow|mor, got {self.sink_mode}")
+        if self.sink_mode == "mor" and self.delete_mode == "soft":
+            problems.append(
+                "sink_mode=mor does not support delete_mode=soft "
+                "(MoR reconstruct applies deletes hard); use sink_mode=cow"
+            )
         if self.max_files_per_trigger < 1:
             problems.append("max_files_per_trigger must be >= 1")
         if not os.path.isdir(self.changelog_dir):

@@ -108,8 +108,15 @@ def merge_into(
         and f.name not in (op_col, BUCKET_COL)
         and f.name not in _FEED_META
     ]
+    # allow_widen=False: an in-place widen (long -> double) would publish
+    # a schema the KEPT buckets' unrewritten parquet files cannot be read
+    # through — batch-driven evolution is additive-only (the CDC registry
+    # never retypes a key, so this is unreachable from the pipeline; it
+    # guards direct API use)
     evolved, changes = merge_schemas(
-        snap.schema, T.StructType(list(snap.schema.fields) + new_fields)
+        snap.schema,
+        T.StructType(list(snap.schema.fields) + new_fields),
+        allow_widen=False,
     )
     write_schema = T.StructType(
         list(evolved.fields) + [T.StructField(BUCKET_COL, T.IntegerType(), True)]

@@ -55,8 +55,12 @@ def merge_delta(
         and f.name not in (op_col, OP_COL, BUCKET_COL)
         and f.name not in ("lsn", "txn_id", "txn_seq", "ts_ms")
     ]
+    # additive-only like the CoW path: widening would break base files
+    # that reconstruct() still reads (see lake/merge.py)
     evolved, _changes = merge_schemas(
-        snap.schema, T.StructType(list(snap.schema.fields) + new_fields)
+        snap.schema,
+        T.StructType(list(snap.schema.fields) + new_fields),
+        allow_widen=False,
     )
 
     keyed = batch.withColumn(BUCKET_COL, table.bucket_expr(snap))

@@ -420,8 +420,12 @@ class LakeTable:
 
     def lookup(self, **key_values) -> DataFrame:
         """Bucket-pruned point lookup by full key: computes the bucket
-        driver-side and opens ONLY that bucket's files — O(1/n_buckets) of
-        the table regardless of size."""
+        driver-side (pure-Python XXH64 pinned to Spark's xxhash64 — no
+        probe job) and opens ONLY that bucket's files — O(1/n_buckets) of
+        the table regardless of size, exactly one Spark job (the pruned
+        scan)."""
+        from gear5_spark.lake.xxh64 import bucket_of
+
         snap = self.snapshot()
         cols = snap.properties.get("bucket_columns") or [
             snap.properties.get("bucket_column")
@@ -430,15 +434,7 @@ class LakeTable:
         if missing:
             raise ValueError(f"lookup requires bucket columns {missing}")
         n = snap.properties["n_buckets"]
-        probe = self.spark.range(1).select(
-            F.pmod(
-                F.xxhash64(
-                    *[F.lit(key_values[c]).cast("string") for c in cols]
-                ),
-                F.lit(n),
-            ).cast("int").alias("b")
-        )
-        bucket = probe.first()["b"]
+        bucket = bucket_of([str(key_values[c]) for c in cols], n)
         df = self.read(snapshot=snap, buckets=[bucket])
         for col, val in key_values.items():
             df = df.filter(F.col(col) == F.lit(val))
@@ -508,16 +504,24 @@ class LakeTable:
         ]
         return self.spark.createDataFrame(data, schema)
 
-    def vacuum(self) -> list[str]:
-        """Delete data directories unreachable from any snapshot (orphans)."""
+    def vacuum(self, retention_sec: float = 3600.0) -> list[str]:
+        """Delete data directories unreachable from any snapshot (orphans).
+
+        Only directories older than ``retention_sec`` (mtime-based,
+        default 1h — the Delta/Iceberg convention) are removed: the
+        window between ``write_data_files`` and ``commit`` always holds a
+        not-yet-referenced directory, and a concurrent writer's imminent
+        commit must not lose its files to a maintenance vacuum."""
         live: set[str] = set()
         for s in self.history():
             for f in s.files:
                 live.add(f["path"].split(os.sep)[1])  # data/<commit>/...
         removed = []
+        cutoff = time.time() - retention_sec
         data_root = os.path.join(self.table_dir, DATA_DIR)
         for d in os.listdir(data_root):
-            if d not in live:
-                shutil.rmtree(os.path.join(data_root, d))
+            full = os.path.join(data_root, d)
+            if d not in live and os.path.getmtime(full) < cutoff:
+                shutil.rmtree(full)
                 removed.append(d)
         return removed

@@ -60,12 +60,16 @@ def sanitize_name(text: str) -> str:
     return SEPARATOR.join(tokens).lower()
 
 
-def sanitize_unique(names: list[str]) -> dict[str, str]:
+def sanitize_unique(
+    names: list[str], taken: set[str] | None = None
+) -> dict[str, str]:
     """Map raw payload keys -> sanitized column names, deduplicating
     collisions deterministically (``a-b`` and ``a_b`` both sanitize to
-    ``a_b``; the second, in sorted raw-key order, becomes ``a_b_2``)."""
+    ``a_b``; the second, in sorted raw-key order, becomes ``a_b_2``).
+    ``taken`` reserves names already in use (existing registry columns,
+    key columns)."""
     out: dict[str, str] = {}
-    used: set[str] = set()
+    used: set[str] = set(taken or ())
     for raw in sorted(names):
         base = sanitize_name(raw) or "_"
         name = base

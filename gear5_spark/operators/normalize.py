@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import json
 from collections.abc import Iterator
+from dataclasses import dataclass
 from typing import Any
 
 import pandas as pd
@@ -28,6 +29,18 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from gear5_spark.lake.table import CDC_DELETED_AT, CDC_LSN, CDC_UPDATED_AT
+from gear5_spark.operators.infer import SCALAR_TOKENS
+
+
+@dataclass(frozen=True)
+class PayloadField:
+    """One typed payload column: ``source`` is the raw JSON key (used to
+    extract), ``col`` the sanitized output column name (operators/names),
+    ``token`` the registry type token (operators/infer)."""
+
+    col: str
+    token: str
+    source: str
 
 # the reference tries 11 layouts (typeutils/reformat.go:16-28); these are the
 # Spark-pattern equivalents of the common ones (RFC3339, SQL, date-only, ...)
@@ -85,6 +98,15 @@ def coerce_timestamp(col: Column) -> Column:
     return F.coalesce(*attempts)
 
 
+def decode_url(col: Column) -> Column:
+    """F10: percent-decoding for URL-encoded values (object-store keys,
+    hive partition values) — the reference decodes partition values read
+    from S3 paths (``drivers/s3/internal/reader/parquet.go:217-223``).
+    JVM-side ``url_decode``; try-variant so malformed escapes degrade to
+    NULL instead of failing the task."""
+    return F.try_url_decode(col.cast("string"))
+
+
 def stamp_cdc_columns(df: DataFrame) -> DataFrame:
     """Attach the three ``_cdc_*`` metadata columns the reference injects
     into every CDC record (drivers/postgres/internal/cdc.go:70-78)."""
@@ -101,22 +123,88 @@ def stamp_cdc_columns(df: DataFrame) -> DataFrame:
     )
 
 
+def _to_specs(payload_schema) -> list[PayloadField]:
+    """Accept either a list of PayloadField or a plain StructType (legacy
+    catalog-style schema: field name == JSON key, Spark type -> token)."""
+    if not isinstance(payload_schema, T.StructType):
+        return list(payload_schema)
+    specs = []
+    for f in payload_schema.fields:
+        dt = f.dataType
+        if isinstance(dt, T.BooleanType):
+            token = "boolean"
+        elif isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+            token = "long"
+        elif isinstance(dt, (T.FloatType, T.DoubleType)):
+            token = "double"
+        elif isinstance(dt, T.StringType):
+            token = "string"
+        elif isinstance(dt, T.TimestampType):
+            token = "timestamp_iso"
+        else:
+            token = dt.simpleString()
+        specs.append(PayloadField(col=f.name, token=token, source=f.name))
+    return specs
+
+
+def _parse_type(token: str) -> T.DataType:
+    """from_json field type for a token: scalars parse as STRING (the
+    JSON token text survives — "yes", "3.9", true all arrive as text for
+    the columnar coercers, reference ReformatValue semantics); complex
+    DDL tokens parse typed."""
+    if token in SCALAR_TOKENS:
+        return T.StringType()
+    return T._parse_datatype_string(token)
+
+
+def output_type(token: str) -> T.DataType:
+    if token in ("timestamp_iso", "epoch_seconds"):
+        return T.TimestampType()
+    if token in ("string", "boolean", "long", "double"):
+        return {
+            "string": T.StringType(),
+            "boolean": T.BooleanType(),
+            "long": T.LongType(),
+            "double": T.DoubleType(),
+        }[token]
+    return T._parse_datatype_string(token)
+
+
+def _coerce_sql(raw: Column, token: str) -> Column:
+    if token == "boolean":
+        return coerce_bool(raw)
+    if token == "long":
+        return coerce_long(raw)
+    if token == "double":
+        return coerce_double(raw)
+    if token == "timestamp_iso":
+        return coerce_timestamp(raw)
+    if token == "epoch_seconds":
+        return F.timestamp_seconds(coerce_double(raw))
+    return raw  # string / already-typed complex
+
+
 def normalize_changes(
     df: DataFrame,
-    payload_schema: T.StructType,
+    payload_schema,
     mode: str = "sql",
 ) -> DataFrame:
     """Raw change feed -> typed change DataFrame.
 
-    Input (FIXTURES.md §2): lsn, txn_id, txn_seq, op, ts_ms, conv_id,
-    turn_idx, after_json. Output: keys + ordered metadata + one typed
-    column per payload field + ``_cdc_*`` columns. Delete events carry
-    null payload (wal2json deletes carry only oldkeys,
+    ``payload_schema``: list[PayloadField] (registry-driven) or a legacy
+    StructType. Input (FIXTURES.md §2): lsn, txn_id, txn_seq, op, ts_ms,
+    conv_id, turn_idx, after_json. Output: keys + ordered metadata + one
+    typed column per payload field + ``_cdc_*`` columns. Delete events
+    carry null payload (wal2json deletes carry only oldkeys,
     /root/reference/pkg/waljs/types.go:59-63).
     """
+    specs = _to_specs(payload_schema)
     if mode == "pandas":
-        return _normalize_pandas(df, payload_schema)
-    parsed = df.withColumn("_after", F.from_json(F.col("after_json"), payload_schema))
+        return _normalize_pandas(df, specs)
+    parse_schema = T.StructType(
+        [T.StructField(s.source, _parse_type(s.token), True) for s in specs]
+    )
+    parsed = df.withColumn("_after", F.from_json(F.col("after_json"), parse_schema))
     out = parsed.select(
         "lsn",
         "txn_id",
@@ -125,7 +213,10 @@ def normalize_changes(
         "ts_ms",
         "conv_id",
         "turn_idx",
-        *[F.col(f"_after.{f.name}").alias(f.name) for f in payload_schema.fields],
+        *[
+            _coerce_sql(F.col("_after").getField(s.source), s.token).alias(s.col)
+            for s in specs
+        ],
     )
     return stamp_cdc_columns(out)
 
@@ -138,30 +229,42 @@ def _clamp_year(ts: pd.Series) -> pd.Series:
     return ts.where((ts.dt.year >= 0) & (ts.dt.year <= 9999))
 
 
-def _coerce_pd(series: pd.Series, dt: T.DataType) -> pd.Series:
-    if isinstance(dt, T.BooleanType):
+def _coerce_pd(series: pd.Series, token: str) -> pd.Series:
+    if token == "boolean":
         s = series.astype("string").str.strip().str.lower()
         out = pd.Series(pd.NA, index=series.index, dtype="boolean")
         out[s.isin(_TRUE_SET)] = True
         out[s.isin(_FALSE_SET)] = False
         return out
-    if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+    if token == "long":
         return pd.to_numeric(series, errors="coerce").astype("Int64")
-    if isinstance(dt, (T.DoubleType, T.FloatType)):
+    if token == "double":
         return pd.to_numeric(series, errors="coerce").astype("Float64")
-    if isinstance(dt, T.TimestampType):
+    if token == "epoch_seconds":
+        num = pd.to_numeric(series, errors="coerce")
+        return _clamp_year(
+            pd.to_datetime(num, unit="s", errors="coerce", utc=True)
+            .dt.tz_localize(None)
+        )
+    if token == "timestamp_iso":
+        # numbers still accepted as epoch seconds (the sql path's
+        # coerce_timestamp has the same fallback)
         num = pd.to_numeric(series, errors="coerce")
         from_num = pd.to_datetime(num, unit="s", errors="coerce", utc=True)
         from_str = pd.to_datetime(
             series.where(num.isna()), errors="coerce", utc=True, format="mixed"
         )
         return _clamp_year(from_num.fillna(from_str).dt.tz_localize(None))
-    return series.astype("string")
+    if token == "string":
+        return series.astype("string")
+    return series  # complex (array/struct): python objects pass through
 
 
-def _normalize_pandas(df: DataFrame, payload_schema: T.StructType) -> DataFrame:
+def _normalize_pandas(df: DataFrame, specs: list[PayloadField]) -> DataFrame:
     meta_cols = ["lsn", "txn_id", "txn_seq", "op", "ts_ms", "conv_id", "turn_idx"]
-    out_fields = [df.schema[c] for c in meta_cols] + list(payload_schema.fields)
+    out_fields = [df.schema[c] for c in meta_cols] + [
+        T.StructField(s.col, output_type(s.token), True) for s in specs
+    ]
     out_schema = T.StructType(out_fields)
 
     def _loads(s) -> dict:
@@ -180,11 +283,13 @@ def _normalize_pandas(df: DataFrame, payload_schema: T.StructType) -> DataFrame:
             parsed: list[dict[str, Any]] = [_loads(s) for s in pdf["after_json"]]
             payload = pd.DataFrame.from_records(parsed, index=pdf.index)
             out = pdf[meta_cols].copy()
-            for f in payload_schema.fields:
-                col = payload[f.name] if f.name in payload.columns else pd.Series(
-                    pd.NA, index=pdf.index
+            for s in specs:
+                col = (
+                    payload[s.source]
+                    if s.source in payload.columns
+                    else pd.Series(pd.NA, index=pdf.index)
                 )
-                out[f.name] = _coerce_pd(col, f.dataType)
+                out[s.col] = _coerce_pd(col, s.token)
             yield out[[f.name for f in out_fields]]
 
     typed = df.mapInPandas(transform, schema=out_schema)

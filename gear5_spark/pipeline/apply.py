@@ -27,27 +27,46 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from gear5_spark.lake.merge import MergeStats, merge_into
 from gear5_spark.lake.table import LakeTable, Snapshot
 from gear5_spark.operators.dedup import latest_per_key
-from gear5_spark.operators.normalize import normalize_changes
+from gear5_spark.operators.infer import infer_token
+from gear5_spark.operators.names import sanitize_unique
+from gear5_spark.operators.normalize import PayloadField, normalize_changes
 
 # payload fields every transcripts feed starts with (BASELINE.json
-# input_hint); `ts` arrives as epoch-seconds double and lands as timestamp
-BASE_PAYLOAD = {"role": "string", "text": "string", "ts": "double"}
-_EPOCH_FIELDS = {"ts"}
+# input_hint); `ts` arrives as epoch-seconds and lands as timestamp.
+# Registry entries: output column -> {"type": token, "source": JSON key}
+# (tokens: operators/infer.py; sanitized names: operators/names.py).
+BASE_PAYLOAD = {
+    "role": {"type": "string", "source": "role"},
+    "text": {"type": "string", "source": "text"},
+    "ts": {"type": "epoch_seconds", "source": "ts"},
+}
 KEY_COLS = ["conv_id", "turn_idx"]
 
+_SAMPLE_PER_KEY = 100  # reference samples 100 records (protocol/discover.go:46)
 
-def _registry_to_schema(registry: dict[str, str]) -> T.StructType:
-    return T.StructType(
-        [
-            T.StructField(name, T._parse_datatype_string(dt), True)
-            for name, dt in registry.items()
-        ]
-    )
+
+def _registry_specs(registry: dict[str, dict]) -> list[PayloadField]:
+    return [
+        PayloadField(col=name, token=f["type"], source=f["source"])
+        for name, f in sorted(registry.items())
+    ]
+
+
+def _upgrade_v1(flat: dict[str, str]) -> dict[str, dict]:
+    """v1 registries were {name: spark-type}; `ts` double meant epoch."""
+    out: dict[str, dict] = {}
+    for name, dt in flat.items():
+        token = dt
+        if name == "ts" and dt == "double":
+            token = "epoch_seconds"
+        elif dt == "timestamp":
+            token = "timestamp_iso"
+        out[name] = {"type": token, "source": name}
+    return out
 
 
 @dataclass
@@ -65,25 +84,47 @@ class TranscriptsApplier:
     sink_mode: str = "cow"  # cow | mor (delta files + periodic compaction)
     compact_every: int = 8
     quarantine_dir: str | None = None  # dead-letter sink for unkeyable events
+    exclude_columns: list[str] = field(default_factory=list)  # P2
     applied: list[MergeStats] = field(default_factory=list)
     skipped_batches: list[int] = field(default_factory=list)
 
+    def __post_init__(self) -> None:
+        if self.sink_mode == "mor" and self.delete_mode == "soft":
+            # MoR reconstruct/compact drop delete winners outright; soft
+            # tombstones are a CoW-only feature until reconstruct() keeps
+            # them — reject rather than silently hard-delete
+            raise ValueError(
+                "sink_mode=mor does not support delete_mode=soft "
+                "(deletes would be applied hard); use sink_mode=cow"
+            )
+        bad = {"conv_id", "turn_idx"} & set(self.exclude_columns)
+        if bad:
+            raise ValueError(f"cannot exclude key columns: {sorted(bad)}")
+
     # ------------------------------------------------------- schema registry
-    def load_registry(self) -> dict[str, str]:
+    def load_registry(self) -> dict[str, dict]:
         if os.path.exists(self.registry_path):
             with open(self.registry_path) as fh:
-                return json.load(fh)
-        return dict(BASE_PAYLOAD)
+                raw = json.load(fh)
+            if isinstance(raw, dict) and raw.get("version") == 2:
+                return raw["fields"]
+            return _upgrade_v1(raw)
+        return {k: dict(v) for k, v in BASE_PAYLOAD.items()}
 
-    def save_registry(self, registry: dict[str, str]) -> None:
+    def save_registry(self, registry: dict[str, dict]) -> None:
         tmp = self.registry_path + ".tmp"
         with open(tmp, "w") as fh:
-            json.dump(registry, fh, indent=2, sort_keys=True)
+            json.dump(
+                {"version": 2, "fields": registry},
+                fh,
+                indent=2,
+                sort_keys=True,
+            )
         os.replace(tmp, self.registry_path)
 
     def discover_new_fields(
-        self, batch: DataFrame, registry: dict[str, str]
-    ) -> dict[str, str]:
+        self, batch: DataFrame, registry: dict[str, dict]
+    ) -> dict[str, dict]:
         """Additive payload-key discovery, entirely JVM-side (standalone
         variant — the hot path folds key collection into the stats pass,
         see :meth:`__call__`)."""
@@ -95,35 +136,61 @@ class TranscriptsApplier:
         return self.extend_registry(batch, set(keys_row["keys"] or []), registry)
 
     def extend_registry(
-        self, batch: DataFrame, observed: set[str], registry: dict[str, str]
-    ) -> dict[str, str]:
+        self, sample_src: DataFrame, observed: set[str], registry: dict[str, dict]
+    ) -> dict[str, dict]:
         """Type newly-observed payload keys and persist the extended
         registry.
 
-        ≈ the reference's 100-record sampling inference
-        (``protocol/discover.go:46-90``) but per micro-batch: unknown JSON
-        keys are typed by sampling values (numeric -> double, else string —
-        the widening-lattice-safe choice, ``typeutils/datatype.go:12-40``).
-        The sampling scan only runs when a genuinely new key shows up.
+        Reference-parity inference (``typeutils/datatype.go:12-40`` +
+        date-string -> TIMESTAMP at :24-30, sampling 100 values like
+        ``protocol/discover.go:46-90``): bool/int64/double/timestamp/
+        array/object from the parsed JSON values, merged along the
+        widening lattice; key names sanitized (SafeNameConversion
+        semantics, utils.go:147-185) before becoming columns.
+
+        ``sample_src`` should be the persisted deduped batch — sampling
+        it re-reads memory, not the raw source, and a key whose values
+        survive in no winner can be deferred to a later batch with zero
+        data loss (the winners being applied don't carry it).
         """
-        new_keys = sorted(observed - set(registry))
+        known_sources = {f["source"] for f in registry.values()}
+        new_keys = sorted(observed - known_sources)
         if not new_keys:
             return registry
-        updated = dict(registry)
+        vals_by_key: dict[str, list] = {}
         for k in new_keys:
-            sample = (
-                batch.select(
-                    F.get_json_object(F.col("after_json"), f"$.{k}").alias("v")
+            # exotic keys can't ride a $.path — extract via a string map
+            rows = (
+                sample_src.filter(
+                    F.element_at(
+                        F.from_json(F.col("after_json"), "map<string,string>"),
+                        k,
+                    ).isNotNull()
                 )
-                .filter(F.col("v").isNotNull())
-                .limit(100)
+                .select("after_json")
+                .limit(_SAMPLE_PER_KEY)
                 .collect()
             )
-            vals = [r[0] for r in sample]
-            if vals and all(_is_numeric(v) for v in vals):
-                updated[k] = "double"
-            else:
-                updated[k] = "string"
+            vals = []
+            for (s,) in rows:
+                try:
+                    d = json.loads(s)
+                except (TypeError, ValueError):
+                    continue
+                if isinstance(d, dict) and d.get(k) is not None:
+                    vals.append(d[k])
+            if vals:
+                vals_by_key[k] = vals
+            # else: key observed only in losing events — defer; nothing
+            # the merge applies carries it, so nothing is lost
+        if not vals_by_key:
+            return registry
+        updated = dict(registry)
+        name_map = sanitize_unique(
+            list(vals_by_key), taken=set(updated) | set(KEY_COLS)
+        )
+        for k, vals in vals_by_key.items():
+            updated[name_map[k]] = {"type": infer_token(vals), "source": k}
         self.save_registry(updated)
         return updated
 
@@ -173,26 +240,36 @@ class TranscriptsApplier:
             n_keys = deduped_raw.count()
             stats = obs.get
             if stats.get("malformed_count") and self.quarantine_dir:
-                batch.filter(_malformed_key()).write.mode("append").parquet(
-                    self.quarantine_dir
+                # idempotent per batch: the dead-letter write is OUTSIDE
+                # the atomic commit, so a crash-then-replay would append
+                # duplicates — overwrite into a batch_id subdir instead
+                batch.filter(_malformed_key()).write.mode("overwrite").parquet(
+                    os.path.join(self.quarantine_dir, f"batch_id={batch_id}")
                 )
             if n_keys == 0:
                 return None
 
             # discovery AFTER dedup is safe: dedup is payload-agnostic, so
             # newly observed keys just extend the schema the (already
-            # materialized) survivors are parsed with
+            # materialized) survivors are parsed with; sampling the
+            # persisted deduped set costs memory reads, never a source
+            # rescan
             registry = self.extend_registry(
-                batch, set(stats["payload_keys"] or []), self.load_registry()
+                deduped_raw, set(stats["payload_keys"] or []),
+                self.load_registry(),
             )
-            payload_schema = _registry_to_schema(registry)
+            # P2 column exclusion happens BEFORE the parse: an excluded
+            # payload field is never extracted, never typed, never lands
+            # (the reference declares ExcludeColumns but never applies it,
+            # types/stream_configured.go:18)
+            specs = [
+                s
+                for s in _registry_specs(registry)
+                if s.col not in set(self.exclude_columns)
+            ]
             deduped = normalize_changes(
-                deduped_raw, payload_schema, mode=self.normalize_mode
+                deduped_raw, specs, mode=self.normalize_mode,
             )
-            for name in _EPOCH_FIELDS & set(registry):
-                deduped = deduped.withColumn(
-                    name, F.timestamp_seconds(F.col(name))
-                )
             lineage = {
                 "batch_id": int(batch_id),
                 "lsn_min": int(stats["lsn_min"]),
@@ -241,11 +318,3 @@ def _malformed_key():
     """Events that cannot participate in the keyed apply (null key parts
     — a feed bug; the reference would emit them as-is, we quarantine)."""
     return F.col("conv_id").isNull() | F.col("turn_idx").isNull()
-
-
-def _is_numeric(v: str) -> bool:
-    try:
-        float(v)
-        return True
-    except (TypeError, ValueError):
-        return False

@@ -40,18 +40,30 @@ class MultiStreamApplier:
     dropped_streams: set = field(default_factory=set)
 
     def __call__(self, batch: DataFrame, batch_id: int) -> dict:
-        present = [
-            r[0]
-            for r in batch.select(STREAM_COL).distinct().collect()
-        ]
-        unknown = [s for s in present if s not in self.appliers]
-        if unknown:
-            if self.strict:
-                raise ValueError(f"changes for unselected streams: {unknown}")
-            self.dropped_streams.update(unknown)
-        results = {}
-        # deterministic routing order so crash/replay behavior is stable
-        for name in sorted(s for s in present if s in self.appliers):
-            slice_df = batch.filter(F.col(STREAM_COL) == name).drop(STREAM_COL)
-            results[name] = self.appliers[name](slice_df, batch_id)
-        return results
+        # persist around the routing loop: the stream probe plus each
+        # per-table apply (its own dedup/stats/merge jobs) would otherwise
+        # re-execute the FULL source read once per stream — with 10
+        # streams that is ~10x input re-read per micro-batch
+        batch = batch.persist()
+        try:
+            present = [
+                r[0]
+                for r in batch.select(STREAM_COL).distinct().collect()
+            ]
+            unknown = [s for s in present if s not in self.appliers]
+            if unknown:
+                if self.strict:
+                    raise ValueError(
+                        f"changes for unselected streams: {unknown}"
+                    )
+                self.dropped_streams.update(unknown)
+            results = {}
+            # deterministic routing order so crash/replay is stable
+            for name in sorted(s for s in present if s in self.appliers):
+                slice_df = batch.filter(
+                    F.col(STREAM_COL) == name
+                ).drop(STREAM_COL)
+                results[name] = self.appliers[name](slice_df, batch_id)
+            return results
+        finally:
+            batch.unpersist()

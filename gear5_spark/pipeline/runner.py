@@ -120,6 +120,7 @@ def replay_batch(
     salt_buckets: int = 1,
     normalize_mode: str = "sql",
     order_guard: bool = False,
+    exclude_columns: list[str] | None = None,
 ) -> LakeTable:
     """Bulk replay: whole (or cursor-bounded) change log in one merge.
 
@@ -133,6 +134,7 @@ def replay_batch(
         salt_buckets=salt_buckets,
         normalize_mode=normalize_mode,
         order_guard=order_guard,
+        exclude_columns=exclude_columns or [],
     )
     changes = read_changelog(spark, changelog_dir, min_lsn=min_lsn, max_lsn=max_lsn)
     last = table.last_committed_batch(app_id)

@@ -62,8 +62,10 @@ def read_files(
     if pattern:
         reader = reader.option("pathGlobFilter", pattern)
     if modified_after is not None:
+        # fractional seconds ARE honored (stringToTimestamp); truncating
+        # to whole seconds here would re-read up to a second of files
         reader = reader.option(
-            "modifiedAfter", modified_after.strftime("%Y-%m-%dT%H:%M:%S")
+            "modifiedAfter", modified_after.strftime("%Y-%m-%dT%H:%M:%S.%f")
         )
     return reader.format(fmt).load(path)
 
@@ -90,15 +92,20 @@ def incremental_files(
         files = list_files(listing_pattern)
         newest = max((m for _, m in files), default=None)
         if newest is not None:
-            # `modifiedAfter` compares at whole-second granularity: ceil
-            # sub-second mtimes so an already-consumed file is never
-            # re-read (files landing later in the same second are the
-            # classic mtime-cursor gap — the streaming variant's
-            # checkpoint is exact; reference has the same weakness,
-            # s3.go:135-139)
-            if newest.microsecond:
-                newest = newest.replace(microsecond=0) + dt.timedelta(seconds=1)
-            newest = newest.replace(tzinfo=None)
+            # Spark compares file mtimes at MILLISECOND precision; store
+            # the newest mtime floored to its millisecond. The consumed
+            # newest file is never re-read (mtime == cursor), and only a
+            # file landing in the SAME millisecond after this listing
+            # could be skipped — a sub-ms race, 1000x tighter than the
+            # previous ceil-to-next-second behavior (which skipped
+            # same-second files forever; the reference's whole-second
+            # cursor has that gap too, s3.go:135-139). The streaming
+            # variant's checkpoint is exact — use it for feeds where the
+            # sub-ms race matters.
+            newest = newest.replace(
+                microsecond=(newest.microsecond // 1000) * 1000,
+                tzinfo=None,
+            )
         return state.advance(namespace, stream, MTIME_CURSOR_FIELD, newest)
 
     return df, commit

@@ -141,6 +141,9 @@ def test_atomic_commit_no_torn_state(spark, tiny_changelog, tmp_path):
     assert table.current_version() == v
     assert table.read().count() == rows
 
-    removed = table.vacuum()
+    # default retention (1h) protects a freshly-written uncommitted dir —
+    # a mid-batch writer's files must survive a concurrent vacuum
+    assert table.vacuum() == []
+    removed = table.vacuum(retention_sec=0)
     assert len(removed) == 1
     assert table.read().count() == rows  # live data untouched

@@ -1,0 +1,164 @@
+"""Round-2 fix batch (VERDICT #4/#5/#7 + ADVICE): exclude_columns wired
+into the CDC path, quarantine idempotency, job-free point lookup,
+MoR+soft-delete rejection, vacuum retention."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from gen_fixtures import CHANGE_SCHEMA
+from gear5_spark.pipeline.runner import bootstrap_table, make_applier
+from gear5_spark.sources.changelog import read_changelog
+
+
+def _write_log(d: str, payloads: list[dict | None], conv=None) -> None:
+    os.makedirs(d, exist_ok=True)
+    n = len(payloads)
+    tbl = pa.table(
+        {
+            "lsn": list(range(n)),
+            "txn_id": [0] * n,
+            "txn_seq": list(range(n)),
+            "op": ["insert"] * n,
+            "ts_ms": [1_700_000_000_000 + i for i in range(n)],
+            "conv_id": conv or [f"c{i}" for i in range(n)],
+            "turn_idx": [0] * n,
+            "after_json": [
+                json.dumps(p) if p is not None else None for p in payloads
+            ],
+        },
+        schema=CHANGE_SCHEMA,
+    )
+    pq.write_table(tbl, os.path.join(d, "chunk-000000.parquet"))
+
+
+def test_exclude_columns_never_land(spark, tmp_path):
+    """P2: a configured excluded payload column is absent from the target
+    — and never parsed at all (dropped before from_json)."""
+    log = str(tmp_path / "log")
+    _write_log(
+        log,
+        [
+            {"role": "user", "text": "a", "ts": 1_700_000_000, "secret": "x"},
+            {"role": "user", "text": "b", "ts": 1_700_000_060, "secret": "y"},
+        ],
+    )
+    table = bootstrap_table(spark, str(tmp_path / "t"), n_buckets=4)
+    applier = make_applier(
+        table, str(tmp_path / "c"), exclude_columns=["role", "secret"]
+    )
+    applier(read_changelog(spark, log), 0)
+    names = {f.name for f in table.schema.fields}
+    # a discovered-but-excluded column never even enters the schema
+    assert "secret" not in names
+    # a pre-existing target column stays in the schema (additive table)
+    # but excluded values never land — every row reads null
+    df = table.read()
+    assert df.filter(df.role.isNotNull()).count() == 0
+    assert df.filter(df.text.isNull()).count() == 0
+
+
+def test_exclude_key_column_rejected(spark, tmp_path):
+    table = bootstrap_table(spark, str(tmp_path / "t"), n_buckets=4)
+    with pytest.raises(ValueError, match="key columns"):
+        make_applier(table, str(tmp_path / "c"), exclude_columns=["conv_id"])
+
+
+def test_mor_soft_delete_rejected(spark, tmp_path):
+    from gear5_spark.config import PipelineConfig
+
+    table = bootstrap_table(spark, str(tmp_path / "t"), n_buckets=4)
+    with pytest.raises(ValueError, match="mor"):
+        make_applier(
+            table, str(tmp_path / "c"), sink_mode="mor", delete_mode="soft"
+        )
+    cfg = PipelineConfig(
+        changelog_dir=str(tmp_path),
+        table_dir="t",
+        checkpoint_dir="c",
+        sink_mode="mor",
+        delete_mode="soft",
+    )
+    assert any("mor" in p for p in cfg.validate())
+
+
+def test_quarantine_replay_is_idempotent(spark, tmp_path):
+    """A crash-then-replay of a batch must not duplicate dead-letter rows
+    (the quarantine write is outside the atomic commit)."""
+    log = str(tmp_path / "log")
+    payload = {"role": "user", "text": "x", "ts": 1_700_000_000}
+    _write_log(log, [payload] * 3, conv=["a", None, None])
+    table = bootstrap_table(spark, str(tmp_path / "t"), n_buckets=4)
+    dead = str(tmp_path / "dead")
+    applier = make_applier(table, str(tmp_path / "c"), quarantine_dir=dead)
+    applier(read_changelog(spark, log), 0)
+    n1 = spark.read.parquet(dead).count()
+    assert n1 == 2
+    # simulate a replay of the same batch by a fresh applier whose table
+    # didn't record the commit (crash before commit): quarantine rewrites
+    # the same batch_id partition instead of appending duplicates
+    applier2 = make_applier(
+        table.__class__(spark, str(tmp_path / "t2")) if False else
+        bootstrap_table(spark, str(tmp_path / "t2"), n_buckets=4),
+        str(tmp_path / "c2"),
+        quarantine_dir=dead,
+    )
+    applier2(read_changelog(spark, log), 0)
+    assert spark.read.parquet(dead).count() == 2  # replaced, not appended
+
+
+def test_lookup_runs_exactly_one_job(spark, tmp_path):
+    """VERDICT #7: the bucket is computed driver-side (pure-Python XXH64
+    == Spark xxhash64); lookup costs exactly one job — the pruned scan."""
+    log = str(tmp_path / "log")
+    _write_log(
+        log,
+        [{"role": "user", "text": f"t{i}", "ts": 1_700_000_000 + i}
+         for i in range(20)],
+    )
+    table = bootstrap_table(spark, str(tmp_path / "t"), n_buckets=8)
+    applier = make_applier(table, str(tmp_path / "c"))
+    applier(read_changelog(spark, log), 0)
+
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    before = set(tracker.getJobIdsForGroup() or [])
+    df = table.lookup(conv_id="c7", turn_idx=0)
+    rows = df.collect()
+    after = set(tracker.getJobIdsForGroup() or [])
+    assert len(rows) == 1 and rows[0]["text"] == "t7"
+    assert len(after - before) == 1  # the scan job, nothing else
+
+    # the driver-side hash prunes to the SAME bucket Spark computes
+    from gear5_spark.lake.xxh64 import bucket_of
+
+    from pyspark.sql import functions as F
+    want = (
+        spark.range(1)
+        .select(
+            F.pmod(
+                F.xxhash64(F.lit("c7"), F.lit("0")), F.lit(8)
+            ).cast("int").alias("b")
+        )
+        .first()["b"]
+    )
+    assert bucket_of(["c7", "0"], 8) == want
+
+
+def test_vacuum_respects_retention(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    log = str(tmp_path / "log")
+    _write_log(log, [{"role": "u", "text": "a", "ts": 1}])
+    table = bootstrap_table(spark, str(tmp_path / "t"), n_buckets=2)
+    applier = make_applier(table, str(tmp_path / "c"))
+    applier(read_changelog(spark, log), 0)
+    orphan = table.read().withColumn("_bucket", F.lit(0))
+    table.write_data_files(orphan)  # uncommitted -> orphan
+    assert table.vacuum() == []  # young orphan protected (1h retention)
+    assert len(table.vacuum(retention_sec=0)) == 1
