@@ -300,6 +300,44 @@ def main() -> None:
         "lsh_true_pairs": len(true_pairs),
     }
 
+    # --- commit-cost flatness (manifest-list): committing against a
+    # 10k-file table must cost ~the same as against a 32-file table
+    from pyspark.sql import types as T
+
+    from gear5_spark.lake.table import LakeTable
+
+    ctab_dir = f"{BENCH_WORK_ROOT}/commit-cost"
+    shutil.rmtree(ctab_dir, ignore_errors=True)
+    ctab = LakeTable.create(
+        spark, ctab_dir,
+        schema=T.StructType([T.StructField("k", T.StringType(), False)]),
+        key_columns=["k"], n_buckets=32,
+    )
+    cfiles: list[dict] = []
+    t_early = t_late = 0.0
+    n_commits = 312
+    for v in range(1, n_commits + 1):
+        cfiles = cfiles + [
+            {"path": f"data/c{v}/f{b}.parquet", "bucket": b, "rows": 1}
+            for b in range(32)
+        ]
+        t0 = time.perf_counter()
+        ctab.commit(files=cfiles, lineage={"batch_id": v})
+        dt_ms = (time.perf_counter() - t0) * 1000
+        if v == 10:
+            t_early = dt_ms
+        if v == n_commits:
+            t_late = dt_ms
+    commit_cost = {
+        "files_at_late_commit": len(cfiles),
+        "commit_ms_early": round(t_early, 2),
+        "commit_ms_at_10k_files": round(t_late, 2),
+        "snapshot_bytes": os.path.getsize(
+            os.path.join(ctab_dir, "_lake", f"v{n_commits:08d}.json")
+        ),
+    }
+    shutil.rmtree(ctab_dir, ignore_errors=True)
+
     total = round(sum(results.values()), 3)
     print(
         json.dumps(
@@ -311,6 +349,7 @@ def main() -> None:
                 "sf": SF_DIR,
                 "scaling": scaling,
                 "recall": recall,
+                "commit_cost": commit_cost,
                 "config": {
                     "n_events": N_EVENTS,
                     "master_high": f"local[{CPUS}]",

@@ -165,6 +165,10 @@ def cmd_state(args) -> int:
     spark = _spark()
     table = LakeTable(spark, args.table_dir)
     snap = table.snapshot()
+    # lineage is one entry per snapshot; the tail = last 5 commits' rows
+    tail = []
+    for v in range(max(0, snap.version - 4), snap.version + 1):
+        tail.extend(table.snapshot(v).lineage)
     print(json.dumps({
         "type": "STATE",
         "snapshot_version": snap.version,
@@ -172,7 +176,7 @@ def cmd_state(args) -> int:
         "txn": snap.txn,
         "schema": {f.name: f.dataType.simpleString() for f in snap.schema.fields},
         "files": len(snap.files),
-        "lineage_tail": snap.lineage[-5:],
+        "lineage_tail": tail[-5:],
     }, indent=2))
     return 0
 

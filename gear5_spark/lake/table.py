@@ -24,9 +24,16 @@ This module is the half the reference leaves open, built Iceberg-style:
 - per-commit lineage (lsn range, event count, snapshot id) is embedded in
   the manifest, making data + state + metrics one atomic unit.
 
-At 100 TB: manifests list O(files) entries; for very large tables the
-``files`` list would be split into avro manifest-lists exactly as Iceberg
-does — the commit protocol and pruning logic here are unchanged.
+Manifest scale (Iceberg-style, VERDICT r1 #8): each commit writes its NEW
+data-file entries into an immutable per-commit manifest file
+(``_lake/m-<version>-<uuid>.json``); the snapshot JSON carries only a
+*manifest list* — ``[{path, buckets}]`` — naming each live manifest and
+which of its buckets are still current (all pruning/rewriting in this
+engine is bucket-granular, so bucket sets are exact liveness). Commit
+cost is O(new files + number of manifests), NOT O(total files): at 100 TB
+with millions of data files the snapshot write stays KB-sized, and reads
+resolve manifests through an immutable cache. Lineage is one entry per
+snapshot (full history = walk the snapshots), so it never re-serializes.
 """
 
 from __future__ import annotations
@@ -72,23 +79,27 @@ class Snapshot:
     txn: dict[str, int]  # app_id -> last committed batch id
     lineage: list[dict[str, Any]] = field(default_factory=list)
     committed_at_ms: int = 0
+    # manifest list: [{"path": "_lake/m-*.json", "buckets": [int]}];
+    # None = legacy inline-files snapshot. When present, `files` is the
+    # RESOLVED view (populated at load, not serialized).
+    manifest_list: list[dict[str, Any]] | None = None
 
     def to_json(self) -> str:
-        return json.dumps(
-            {
-                "version": self.version,
-                "snapshot_id": self.snapshot_id,
-                "parent_version": self.parent_version,
-                "schema": self.schema.jsonValue(),
-                "properties": self.properties,
-                "files": self.files,
-                "txn": self.txn,
-                "lineage": self.lineage,
-                "committed_at_ms": self.committed_at_ms,
-            },
-            indent=None,
-            separators=(",", ":"),
-        )
+        d = {
+            "version": self.version,
+            "snapshot_id": self.snapshot_id,
+            "parent_version": self.parent_version,
+            "schema": self.schema.jsonValue(),
+            "properties": self.properties,
+            "txn": self.txn,
+            "lineage": self.lineage,
+            "committed_at_ms": self.committed_at_ms,
+        }
+        if self.manifest_list is not None:
+            d["manifest_list"] = self.manifest_list
+        else:
+            d["files"] = self.files
+        return json.dumps(d, indent=None, separators=(",", ":"))
 
     @staticmethod
     def from_json(s: str) -> "Snapshot":
@@ -103,6 +114,7 @@ class Snapshot:
             txn=d.get("txn", {}),
             lineage=d.get("lineage", []),
             committed_at_ms=d.get("committed_at_ms", 0),
+            manifest_list=d.get("manifest_list"),
         )
 
 
@@ -110,9 +122,38 @@ class Snapshot:
 # of Murmur3, independent of table)
 _IDENT_MAP_CACHE: dict[int, list[int]] = {}
 
+# manifest files are immutable once written — cache their entries
+# process-wide (bounded FIFO; re-read is cheap if evicted)
+_MANIFEST_FILE_CACHE: dict[str, list[dict[str, Any]]] = {}
+_MANIFEST_CACHE_MAX = 4096
+
 
 def _manifest_path(table_dir: str, version: int) -> str:
     return os.path.join(table_dir, MANIFEST_DIR, f"v{version:08d}.json")
+
+
+def _load_manifest(table_dir: str, rel_path: str) -> list[dict[str, Any]]:
+    full = os.path.join(table_dir, rel_path)
+    cached = _MANIFEST_FILE_CACHE.get(full)
+    if cached is None:
+        with open(full) as fh:
+            cached = json.load(fh)["files"]
+        if len(_MANIFEST_FILE_CACHE) >= _MANIFEST_CACHE_MAX:
+            _MANIFEST_FILE_CACHE.pop(next(iter(_MANIFEST_FILE_CACHE)))
+        _MANIFEST_FILE_CACHE[full] = cached
+    return cached
+
+
+def _resolve_files(
+    table_dir: str, manifest_list: list[dict[str, Any]]
+) -> list[dict[str, Any]]:
+    out: list[dict[str, Any]] = []
+    for m in manifest_list:
+        live = set(m["buckets"])
+        out.extend(
+            f for f in _load_manifest(table_dir, m["path"]) if f["bucket"] in live
+        )
+    return out
 
 
 class LakeTable:
@@ -162,6 +203,7 @@ class LakeTable:
             files=[],
             txn={},
             committed_at_ms=int(time.time() * 1000),
+            manifest_list=[],
         )
         t._publish(snap)
         return t
@@ -187,7 +229,10 @@ class LakeTable:
     def snapshot(self, version: int | None = None) -> Snapshot:
         v = self.current_version() if version is None else version
         with open(_manifest_path(self.table_dir, v)) as fh:
-            return Snapshot.from_json(fh.read())
+            snap = Snapshot.from_json(fh.read())
+        if snap.manifest_list is not None:
+            snap.files = _resolve_files(self.table_dir, snap.manifest_list)
+        return snap
 
     def history(self) -> list[Snapshot]:
         return [self.snapshot(v) for v in range(self.current_version() + 1)]
@@ -275,24 +320,16 @@ class LakeTable:
         (measured 2.4x slower) and no hash collisions mixing buckets."""
         cache = _IDENT_MAP_CACHE.get(n_buckets)
         if cache is None:
-            span = 20 * n_buckets
-            while True:
-                probe = (
-                    self.spark.range(0, span)
-                    .select(
-                        F.col("id").cast("int").alias("x"),
-                        F.pmod(
-                            F.hash(F.col("id").cast("int")), F.lit(n_buckets)
-                        ).alias("b"),
-                    )
-                    .groupBy("b")
-                    .agg(F.min("x").alias("x"))
-                    .collect()
-                )
-                mapping = {r["b"]: r["x"] for r in probe}
-                if len(mapping) == n_buckets:
-                    break
-                span *= 4  # extremely unlikely; widen the probe
+            # driver-side Murmur3 probe (no Spark job): pmod(hash(x), n)
+            # for int32 x matches F.hash exactly — pinned by
+            # tests/test_lake_table.py
+            from gear5_spark.lake.xxh64 import murmur3_int32
+
+            mapping: dict[int, int] = {}
+            x = 0
+            while len(mapping) < n_buckets:
+                mapping.setdefault(murmur3_int32(x) % n_buckets, x)
+                x += 1
             cache = [mapping[b] for b in range(n_buckets)]
             _IDENT_MAP_CACHE[n_buckets] = cache
         arr = F.array(*[F.lit(x) for x in cache])
@@ -313,15 +350,25 @@ class LakeTable:
         """
         import pyarrow.parquet as pq
 
+        from gear5_spark.perf import span
+
         commit = commit_token or f"c-{uuid.uuid4().hex}"
         rel_dir = os.path.join(DATA_DIR, commit)
         out_dir = os.path.join(self.table_dir, rel_dir)
         n_buckets = self.snapshot().properties.get("n_buckets", 16)
-        (
-            df.repartition(n_buckets, self._identity_partition_expr(n_buckets))
-            .write.mode("errorifexists")
-            .parquet(out_dir)
-        )
+        with span("table.write_parquet"):
+            (
+                df.repartition(
+                    n_buckets, self._identity_partition_expr(n_buckets)
+                )
+                .write.mode("errorifexists")
+                .parquet(out_dir)
+            )
+        with span("table.footer_scan"):
+            entries = self._scan_written(out_dir, pq)
+        return commit, entries
+
+    def _scan_written(self, out_dir: str, pq) -> list[dict[str, Any]]:
         entries: list[dict[str, Any]] = []
         bucket_idx = None
         for root, _dirs, names in os.walk(out_dir):
@@ -350,7 +397,57 @@ class LakeTable:
                 entries.append(
                     {"path": rel, "bucket": int(bmin), "rows": meta.num_rows}
                 )
-        return commit, entries
+        return entries
+
+    def _build_manifest_list(
+        self, parent: Snapshot, files: list[dict[str, Any]], version: int
+    ) -> list[dict[str, Any]]:
+        """Diff ``files`` (the full logical set) against the parent:
+        entries the parent already tracked stay attributed to their
+        original manifests (liveness updated at bucket granularity —
+        every rewrite path in this engine keeps or drops whole buckets
+        per manifest); genuinely new entries land in ONE new per-commit
+        manifest file. O(new files + manifests), never O(table files)."""
+        want_paths = {f["path"] for f in files}
+        parent_paths = {f["path"] for f in parent.files}
+        new_entries = [f for f in files if f["path"] not in parent_paths]
+
+        m_list: list[dict[str, Any]] = []
+        if parent.manifest_list is None:
+            # legacy inline-files parent: fold its surviving entries into
+            # this commit's manifest (one-time conversion)
+            new_entries = list(files)
+        else:
+            for m in parent.manifest_list:
+                live = set(m["buckets"])
+                by_bucket: dict[int, list[str]] = {}
+                for f in _load_manifest(self.table_dir, m["path"]):
+                    if f["bucket"] in live:
+                        by_bucket.setdefault(f["bucket"], []).append(f["path"])
+                keep = []
+                for b, paths in by_bucket.items():
+                    present = sum(p in want_paths for p in paths)
+                    if present == len(paths):
+                        keep.append(b)
+                    elif present:  # pragma: no cover - no partial paths
+                        raise AssertionError(
+                            f"partial-bucket drop in {m['path']} bucket {b}"
+                        )
+                if keep:
+                    m_list.append({"path": m["path"], "buckets": sorted(keep)})
+        if new_entries:
+            rel = os.path.join(
+                MANIFEST_DIR, f"m-{version:08d}-{uuid.uuid4().hex[:12]}.json"
+            )
+            with open(os.path.join(self.table_dir, rel), "w") as fh:
+                json.dump({"files": new_entries}, fh, separators=(",", ":"))
+            m_list.append(
+                {
+                    "path": rel,
+                    "buckets": sorted({f["bucket"] for f in new_entries}),
+                }
+            )
+        return m_list
 
     def commit(
         self,
@@ -359,9 +456,24 @@ class LakeTable:
         txn_app_id: str | None = None,
         txn_batch_id: int | None = None,
         lineage: dict[str, Any] | None = None,
-        retain_lineage: int = 10_000,
     ) -> Snapshot:
-        """Publish a new snapshot pointing at ``files`` (the FULL file set)."""
+        """Publish a new snapshot pointing at ``files`` (the FULL file
+        set — internally diffed into per-commit manifests)."""
+        from gear5_spark.perf import span
+
+        with span("table.commit"):
+            return self._commit(
+                files, schema, txn_app_id, txn_batch_id, lineage
+            )
+
+    def _commit(
+        self,
+        files: list[dict[str, Any]],
+        schema: T.StructType | None,
+        txn_app_id: str | None,
+        txn_batch_id: int | None,
+        lineage: dict[str, Any] | None,
+    ) -> Snapshot:
         parent = self.snapshot()
         txn = dict(parent.txn)
         if txn_app_id is not None:
@@ -376,14 +488,16 @@ class LakeTable:
         version = parent.version + 1
         snapshot_id = uuid.uuid4().hex
         now_ms = int(time.time() * 1000)
-        lin = list(parent.lineage)
+        # one lineage entry per snapshot — full history is the snapshot
+        # chain (lineage_df), so the commit payload never grows
+        lin = []
         if lineage is not None:
             entry = dict(lineage)
             entry["snapshot_id"] = snapshot_id
             entry["snapshot_version"] = version
             entry["committed_at_ms"] = now_ms
             lin.append(entry)
-        lin = lin[-retain_lineage:]
+        m_list = self._build_manifest_list(parent, files, version)
         snap = Snapshot(
             version=version,
             snapshot_id=snapshot_id,
@@ -394,6 +508,7 @@ class LakeTable:
             txn=txn,
             lineage=lin,
             committed_at_ms=now_ms,
+            manifest_list=m_list,
         )
         self._publish(snap)
         return snap

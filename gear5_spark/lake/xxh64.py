@@ -96,3 +96,31 @@ def bucket_of(values: list[str], n_buckets: int, seed: int = 42) -> int:
     """``pmod(xxhash64(cols...), n)`` — the lake table's bucket id,
     computed driver-side."""
     return spark_xxhash64_strings(values, seed) % n_buckets
+
+
+_M32 = (1 << 32) - 1
+
+
+def _rotl32(x: int, r: int) -> int:
+    return ((x << r) | (x >> (32 - r))) & _M32
+
+
+def murmur3_int32(value: int, seed: int = 42) -> int:
+    """Murmur3 x86_32 of one int32 — Spark's ``F.hash`` for an integer
+    column (``Murmur3_x86_32.hashInt``). Signed 32-bit result. Used to
+    compute the identity-placement map driver-side instead of a probe
+    job."""
+    k1 = (value & _M32) * 0xCC9E2D51 & _M32
+    k1 = _rotl32(k1, 15)
+    k1 = k1 * 0x1B873593 & _M32
+    h1 = seed & _M32
+    h1 ^= k1
+    h1 = _rotl32(h1, 13)
+    h1 = (h1 * 5 + 0xE6546B64) & _M32
+    h1 ^= 4  # length in bytes
+    h1 ^= h1 >> 16
+    h1 = h1 * 0x85EBCA6B & _M32
+    h1 ^= h1 >> 13
+    h1 = h1 * 0xC2B2AE35 & _M32
+    h1 ^= h1 >> 16
+    return h1 - (1 << 32) if h1 >= (1 << 31) else h1

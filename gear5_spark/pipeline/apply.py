@@ -236,8 +236,11 @@ class TranscriptsApplier:
         deduped_raw = latest_per_key(
             valid, KEY_COLS, salt_buckets=self.salt_buckets
         ).persist()
+        from gear5_spark.perf import span
+
         try:
-            n_keys = deduped_raw.count()
+            with span("apply.dedup_count"):
+                n_keys = deduped_raw.count()
             stats = obs.get
             if stats.get("malformed_count") and self.quarantine_dir:
                 # idempotent per batch: the dead-letter write is OUTSIDE
@@ -254,10 +257,11 @@ class TranscriptsApplier:
             # materialized) survivors are parsed with; sampling the
             # persisted deduped set costs memory reads, never a source
             # rescan
-            registry = self.extend_registry(
-                deduped_raw, set(stats["payload_keys"] or []),
-                self.load_registry(),
-            )
+            with span("apply.extend_registry"):
+                registry = self.extend_registry(
+                    deduped_raw, set(stats["payload_keys"] or []),
+                    self.load_registry(),
+                )
             # P2 column exclusion happens BEFORE the parse: an excluded
             # payload field is never extracted, never typed, never lands
             # (the reference declares ExcludeColumns but never applies it,
@@ -297,17 +301,18 @@ class TranscriptsApplier:
                 if self.compact_every and (batch_id + 1) % self.compact_every == 0:
                     compact(self.table)
                 return snap
-            snap, mstats = merge_into(
-                self.table,
-                deduped,
-                delete_mode=self.delete_mode,
-                order_guard=self.order_guard,
-                broadcast_batch=self.broadcast_batch,
-                txn_app_id=self.app_id,
-                txn_batch_id=int(batch_id),
-                lineage=lineage,
-                affected_buckets=affected,
-            )
+            with span("apply.merge"):
+                snap, mstats = merge_into(
+                    self.table,
+                    deduped,
+                    delete_mode=self.delete_mode,
+                    order_guard=self.order_guard,
+                    broadcast_batch=self.broadcast_batch,
+                    txn_app_id=self.app_id,
+                    txn_batch_id=int(batch_id),
+                    lineage=lineage,
+                    affected_buckets=affected,
+                )
             self.applied.append(mstats)
             return snap
         finally:
