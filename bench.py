@@ -82,8 +82,13 @@ def _fresh_spark(cores: int):
 BENCH_WORK_ROOT = os.environ.get("SPARK_GRAFT_BENCH_WORK", "/dev/shm/gear5-bench")
 
 
-def _replay(spark, log_dir: str, tag: str, warmup: bool = True) -> float:
+PHASES_BY_CORES: dict[int, dict] = {}
+
+
+def _replay(spark, log_dir: str, tag: str, warmup: bool = True,
+            cores: int | None = None) -> float:
     from gen_fixtures import generate_changelog
+    from gear5_spark import perf
     from gear5_spark.pipeline.runner import bootstrap_table, replay_batch
 
     work = f"{BENCH_WORK_ROOT}/replay-{tag}"
@@ -97,9 +102,20 @@ def _replay(spark, log_dir: str, tag: str, warmup: bool = True) -> float:
         wt = bootstrap_table(spark, f"{wdir}/table", n_buckets=32)
         replay_batch(spark, f"{wdir}/log", wt, checkpoint_dir=f"{wdir}/ckpt")
     table = bootstrap_table(spark, f"{work}/table", n_buckets=32)
+    perf.reset()
     t0 = time.perf_counter()
     replay_batch(spark, log_dir, table, checkpoint_dir=f"{work}/ckpt")
     elapsed = time.perf_counter() - t0
+    if cores is not None:
+        # per-phase attribution for the scaling pairs: shows how much of
+        # the wall-clock is engine-fixed (registry/footer-scan/commit)
+        # vs Spark job execution — see VERDICT r1 #3
+        prev = PHASES_BY_CORES.get(cores)
+        if prev is None or elapsed < prev["total_sec"]:
+            PHASES_BY_CORES[cores] = {
+                "total_sec": round(elapsed, 3),
+                "phases": perf.timings(),
+            }
     assert table.read().count() > 0
     shutil.rmtree(work, ignore_errors=True)  # tmpfs: release memory
     return elapsed
@@ -176,8 +192,9 @@ def main() -> None:
     for cores in sorted({SCALE_LOW, SCALE_HIGH, LOW_CPUS, CPUS}):
         spark = _fresh_spark(cores)
         t_by_cores[cores] = min(
-            _replay(spark, scale_log, f"scale{cores}-a"),
-            _replay(spark, scale_log, f"scale{cores}-b", warmup=False),
+            _replay(spark, scale_log, f"scale{cores}-a", cores=cores),
+            _replay(spark, scale_log, f"scale{cores}-b", warmup=False,
+                    cores=cores),
         )
         results[f"cdc_replay_bulk_local{cores}"] = round(t_by_cores[cores], 3)
     t_low, t_high = t_by_cores[LOW_CPUS], t_by_cores[CPUS]
@@ -206,6 +223,9 @@ def main() -> None:
             "efficiency": round((t_low / t_high) / (CPUS / LOW_CPUS), 3),
         },
         "hardware_ceiling": _cpu_ceiling(),
+        "phase_breakdown": {
+            str(c): PHASES_BY_CORES[c] for c in sorted(PHASES_BY_CORES)
+        },
     }
     # Amdahl decomposition from the rule pair: T_n = c/n + d, where d is
     # the size-independent fixed cost per replay (driver orchestration,
