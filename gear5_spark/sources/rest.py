@@ -1,0 +1,164 @@
+"""Paginated REST-style source adapter (the S10/S11 pattern, network-free).
+
+The reference ships two REST drivers whose *incremental machinery* — not
+their HTTP specifics — is what an ingest engine needs:
+
+- cursor pagination via a ``paging.next.after`` token
+  (``/root/reference/drivers/hubspot/internal/base_stream.go:179-212``);
+- bounded retries honoring ``Retry-After`` on 429
+  (``base_stream.go:341-409``: 3 attempts);
+- the 10k-result search-window restart: when the API refuses to page
+  past its cap, restart the query with ``cursor > last seen value``
+  (``crm_stream.go:93-148``, restart at ``:136-143``);
+- page-size bounds (100-1000, ``base_stream.go:67``) and all-string
+  row typing for schemaless feeds (Sheets,
+  ``drivers/google-sheets/internal/utils.go:187-196``).
+
+This module implements exactly that protocol over a PLUGGABLE ``fetch``
+callable (this sandbox has no network; tests drive it with an in-memory
+API). Pagination is inherently serial per stream — driver-side by design;
+scale comes from running many streams concurrently and from everything
+AFTER ``createDataFrame`` being distributed.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from gear5_spark.pipeline.state import CursorStateStore
+
+
+class RateLimited(Exception):
+    """Fetch hit a rate limit; retry after ``retry_after_sec``
+    (the 429 + Retry-After contract, base_stream.go:356-380)."""
+
+    def __init__(self, retry_after_sec: float = 0.0):
+        super().__init__(f"rate limited, retry after {retry_after_sec}s")
+        self.retry_after_sec = retry_after_sec
+
+
+@dataclass
+class Page:
+    """One fetch result: records + the next-page token (None = last page)."""
+
+    records: list[dict]
+    next_after: str | None = None
+
+
+# fetch(params) -> Page; params carry after/limit/cursor_field/cursor_gt
+FetchFn = Callable[[dict[str, Any]], Page]
+
+
+@dataclass
+class RestStream:
+    namespace: str
+    name: str
+    primary_key: str = "id"
+    cursor_field: str | None = None
+    page_size: int = 100  # base_stream.go:67 default
+    search_cap: int = 10_000  # crm_stream.go:136-143 window
+    max_retries: int = 3  # base_stream.go:356
+    max_records: int | None = None  # O3: sample/page limit
+    stats: dict[str, int] = field(
+        default_factory=lambda: {"pages": 0, "retries": 0, "restarts": 0}
+    )
+
+
+def _fetch_with_retry(
+    fetch: FetchFn, params: dict, stream: RestStream, sleep=time.sleep
+) -> Page:
+    attempts = 0
+    while True:
+        try:
+            return fetch(dict(params))
+        except RateLimited as e:
+            attempts += 1
+            stream.stats["retries"] += 1
+            if attempts >= stream.max_retries:
+                raise
+            sleep(e.retry_after_sec)
+
+
+def fetch_records(
+    fetch: FetchFn,
+    stream: RestStream,
+    cursor_start: Any = None,
+    sleep=time.sleep,
+) -> list[dict]:
+    """Drain the stream: cursor pagination + retry + search-window
+    restarts. Records are returned in API order; the caller dedupes by
+    primary key downstream (restarts can re-deliver boundary rows —
+    at-least-once, same as the reference)."""
+    out: list[dict] = []
+    cursor_gt = cursor_start
+    after: str | None = None
+    window_seen = 0
+    while True:
+        params: dict[str, Any] = {"limit": stream.page_size, "after": after}
+        if stream.cursor_field is not None:
+            params["cursor_field"] = stream.cursor_field
+            params["cursor_gt"] = cursor_gt
+        page = _fetch_with_retry(fetch, params, stream, sleep=sleep)
+        stream.stats["pages"] += 1
+        out.extend(page.records)
+        window_seen += len(page.records)
+        if stream.max_records is not None and len(out) >= stream.max_records:
+            return out[: stream.max_records]
+        if page.next_after is None:
+            return out
+        if (
+            stream.cursor_field is not None
+            and window_seen + stream.page_size > stream.search_cap
+        ):
+            # the API will refuse to page past its result cap: restart
+            # the search from the newest cursor value seen so far
+            # (crm_stream.go:136-143)
+            cursor_gt = max(r[stream.cursor_field] for r in out)
+            after = None
+            window_seen = 0
+            stream.stats["restarts"] += 1
+            continue
+        after = page.next_after
+
+
+def read_paginated(
+    spark: SparkSession,
+    fetch: FetchFn,
+    stream: RestStream,
+    state: CursorStateStore | None = None,
+    all_string: bool = False,
+    sleep=time.sleep,
+) -> tuple[DataFrame, Callable[[], Any]]:
+    """Incremental REST read -> DataFrame + a ``commit()`` that folds the
+    max cursor into state after the downstream write succeeds (the same
+    contract as ``sources.incremental``). ``all_string=True`` applies
+    the Sheets all-string schema (utils.go:187-196)."""
+    cur = state.get(stream.namespace, stream.name) if state else None
+    records = fetch_records(fetch, stream, cursor_start=cur, sleep=sleep)
+    if records:
+        if all_string:
+            keys = sorted({k for r in records for k in r})
+            rows = [tuple(
+                None if r.get(k) is None else str(r.get(k)) for k in keys
+            ) for r in records]
+            df = spark.createDataFrame(
+                rows, ", ".join(f"`{k}` string" for k in keys)
+            )
+        else:
+            df = spark.createDataFrame(records)  # type: ignore[arg-type]
+    else:
+        df = spark.createDataFrame([], "`__empty` string").limit(0)
+
+    def commit() -> Any:
+        if state is None or stream.cursor_field is None or not records:
+            return cur
+        newest = max(r[stream.cursor_field] for r in records)
+        return state.advance(
+            stream.namespace, stream.name, stream.cursor_field, newest
+        )
+
+    return df, commit

@@ -84,36 +84,34 @@ def _banded_pairs(banded: DataFrame, max_bucket_size: int) -> DataFrame:
     A star is a spanning tree of the bucket, so connected-component
     dedup loses nothing, while a degenerate bucket of n near-identical
     docs costs O(n) instead of O(n^2) pairs. Nothing is silently
-    dropped; ``lsh_bucket_stats`` reports which buckets degraded."""
-    sized = banded.join(
-        banded.groupBy("band", "bucket").agg(
-            F.count(F.lit(1)).alias("_n"),
-            F.min("doc_id").alias("_min_doc"),
-        ),
-        ["band", "bucket"],
+    dropped; ``lsh_bucket_stats`` reports which buckets degraded.
+
+    ONE shuffle: the bucket groups once (collect_list) and pairs expand
+    from the sorted id array with JVM array lambdas — a self-join would
+    re-execute the (expensive) signature computation per side. A bucket
+    materializes as one array per group; the pair OUTPUT is capped, and
+    the array itself is linear in bucket size."""
+    grouped = banded.groupBy("band", "bucket").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ids")
     )
-    small = sized.filter(F.col("_n") <= max_bucket_size)
-    a, b = small.alias("a"), small.alias("b")
-    all_pairs = a.join(
-        b,
-        (F.col("a.band") == F.col("b.band"))
-        & (F.col("a.bucket") == F.col("b.bucket"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
-    ).select(
-        F.col("a.doc_id").alias("doc_id_a"),
-        F.col("b.doc_id").alias("doc_id_b"),
+    all_pairs = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS a, y AS b))))"
     )
-    star_pairs = (
-        sized.filter(
-            (F.col("_n") > max_bucket_size)
-            & (F.col("doc_id") != F.col("_min_doc"))
-        )
-        .select(
-            F.col("_min_doc").alias("doc_id_a"),
-            F.col("doc_id").alias("doc_id_b"),
-        )
+    star_pairs = F.expr(
+        "transform(slice(ids, 2, size(ids)), "
+        "y -> struct(element_at(ids, 1) AS a, y AS b))"
     )
-    return all_pairs.unionByName(star_pairs).distinct()
+    pairs = grouped.select(
+        F.explode(
+            F.when(F.size("ids") <= max_bucket_size, all_pairs).otherwise(
+                star_pairs
+            )
+        ).alias("p")
+    )
+    return pairs.select(
+        F.col("p.a").alias("doc_id_a"), F.col("p.b").alias("doc_id_b")
+    ).distinct()
 
 
 def lsh_near_duplicates(
