@@ -301,6 +301,32 @@ def _q_cosine_topk(spark, sf_dir):
     return cosine_topk(emb, emb.filter(F.col("vec_id") < 20), k=3)
 
 
+def _q_embedding_near_dup(spark, sf_dir):
+    # embedding-cosine near-dup: multi-table LSH candidates + exact
+    # cosine confirm, oracled against the DuckDB all-pairs answer —
+    # equality proves candidate recall 1.0 at this threshold
+    from gear5_spark.sim.ann import embedding_near_duplicates
+
+    # 0.45 is an adversarially low threshold on this uniform-random
+    # corpus (collision prob/plane ~0.65): 2 planes x 16 tables keeps
+    # P[miss] < 3e-4 per pair. Real near-dup thresholds (~0.9) reach the
+    # same recall at the cheaper default (4 planes x 8 tables).
+    return embedding_near_duplicates(
+        _t(spark, sf_dir, "embeddings"), threshold=0.45,
+        n_planes=2, n_tables=16,
+    )
+
+
+def _q_column_profile(spark, sf_dir):
+    # discover-style per-column statistics, one aggregation pass
+    from gear5_spark.operators.profile import profile_columns
+
+    return profile_columns(
+        _t(spark, sf_dir, "events"),
+        ["event_id", "user_id", "event_type", "value"],
+    )
+
+
 def _q_embedding_norm(spark, sf_dir):
     from gear5_spark.sim.ann import with_norms
 
@@ -555,6 +581,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "cosine_topk": _q_cosine_topk,
         "embedding_norm": _q_embedding_norm,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "column_profile": _q_column_profile,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "ngram_jaccard": _q_ngram_jaccard,
         "lsh_jaccard_dedup": _q_lsh_jaccard_dedup,
@@ -722,6 +750,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT vec_id, round(sqrt(list_aggregate("
             "list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
             "'sum')), 6) AS l2_norm FROM embeddings"
+        ),
+        "embedding_near_dup": (
+            "WITH v AS (SELECT vec_id, "
+            "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec "
+            "FROM embeddings) "
+            "SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b, "
+            "round(list_cosine_similarity(a.vec, b.vec), 6) AS cosine "
+            "FROM v a, v b WHERE a.vec_id < b.vec_id "
+            "AND list_cosine_similarity(a.vec, b.vec) >= 0.45"
+        ),
+        "column_profile": " UNION ALL ".join(
+            "SELECT '{c}' AS column, count(*) AS n_rows, "
+            "count(*) - count({c}) AS n_nulls, "
+            "count(DISTINCT {c}) AS n_distinct, "
+            "CAST(min({c}) AS VARCHAR) AS min_value, "
+            "CAST(max({c}) AS VARCHAR) AS max_value FROM events".format(c=c)
+            for c in ("event_id", "user_id", "event_type", "value")
         ),
         "ngram_jaccard": _JACCARD_SQL.format(
             docs_filter="WHERE doc_id < 500", threshold="0.3"

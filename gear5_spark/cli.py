@@ -85,6 +85,38 @@ def cmd_discover(args) -> int:
         ).alias("keys"),
         F.count(F.lit(1)).alias("n"),
     ).first()
+    # typed catalog (reference emits full TypeSchema per stream): run the
+    # same inference the applier uses, over the sampled payloads
+    import json as _json
+
+    from gear5_spark.operators.infer import infer_token
+    from gear5_spark.operators.names import sanitize_unique
+
+    payloads = [
+        r[0]
+        for r in sample.select("after_json")
+        .filter(F.col("after_json").isNotNull())
+        .collect()
+    ]
+    vals_by_key: dict[str, list] = {}
+    for s in payloads:
+        try:
+            d = _json.loads(s)
+        except ValueError:
+            continue
+        if isinstance(d, dict):
+            for k, v in d.items():
+                if v is not None:
+                    vals_by_key.setdefault(k, []).append(v)
+    base_cols = set(BASE_PAYLOAD)
+    name_map = sanitize_unique(list(vals_by_key), taken=set(KEY_COLS))
+    typed = {
+        name_map[k]: {"type": infer_token(v[:100]), "source": k}
+        for k, v in vals_by_key.items()
+    }
+    for col, spec in BASE_PAYLOAD.items():  # configured schema wins
+        if col in base_cols:
+            typed[col] = dict(spec)
     catalog = {
         "type": "CATALOG",
         "streams": [
@@ -99,6 +131,7 @@ def cmd_discover(args) -> int:
                     for f in TRANSCRIPTS_SCHEMA.fields
                 },
                 "payload_fields_observed": sorted(row["keys"] or []),
+                "payload_fields_typed": typed,
                 "payload_fields_known": sorted(BASE_PAYLOAD),
                 "sampled_records": row["n"],
             }
@@ -126,7 +159,10 @@ def cmd_read(args) -> int:
                           "message": "; ".join(problems)}))
         return 1
     spark = _spark()
-    table = bootstrap_table(spark, cfg.table_dir, n_buckets=cfg.n_buckets)
+    table = bootstrap_table(
+        spark, cfg.table_dir, n_buckets=cfg.n_buckets,
+        delete_mode=cfg.delete_mode,
+    )
     t0 = time.perf_counter()
     if cfg.mode == "bulk":
         replay_batch(

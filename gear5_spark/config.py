@@ -67,11 +67,10 @@ class PipelineConfig:
             problems.append("salt_buckets must be >= 1")
         if self.sink_mode not in ("cow", "mor"):
             problems.append(f"sink_mode must be cow|mor, got {self.sink_mode}")
-        if self.sink_mode == "mor" and self.delete_mode == "soft":
-            problems.append(
-                "sink_mode=mor does not support delete_mode=soft "
-                "(MoR reconstruct applies deletes hard); use sink_mode=cow"
-            )
+        # sink_mode=mor + delete_mode=soft is legal: `read` bootstraps
+        # the table with the soft property, and MoR reconstruct keeps
+        # delete winners as tombstones (lake/mor.py). A PRE-EXISTING
+        # hard table is still rejected at applier construction.
         if self.max_files_per_trigger < 1:
             problems.append("max_files_per_trigger must be >= 1")
         if not os.path.isdir(self.changelog_dir):

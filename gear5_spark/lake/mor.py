@@ -124,9 +124,15 @@ def reconstruct(
     flat = winner.select(
         *key_cols, *[F.col(f"_p.{c}").alias(c) for c in payload_cols]
     )
-    live = flat.filter(
-        F.coalesce(F.col(OP_COL) != "delete", F.lit(True))
-    )
+    if snap.properties.get("delete_mode", "hard") == "soft":
+        # soft-delete tables keep delete winners as tombstones — the
+        # row's `_cdc_deleted_at` is already stamped by normalize;
+        # readers filter with merge.active() (same contract as CoW soft)
+        live = flat
+    else:
+        live = flat.filter(
+            F.coalesce(F.col(OP_COL) != "delete", F.lit(True))
+        )
     if with_internal:
         return live.select(*[f.name for f in snap.schema.fields], BUCKET_COL)
     return live.select(*[f.name for f in snap.schema.fields])

@@ -174,6 +174,7 @@ class LakeTable:
         bucket_columns: list[str] | str | None = None,
         n_buckets: int = 16,
         if_not_exists: bool = False,
+        extra_properties: dict[str, Any] | None = None,
     ) -> "LakeTable":
         t = cls(spark, table_dir)
         if t.exists():
@@ -199,6 +200,7 @@ class LakeTable:
                     else (bucket_columns or list(key_columns))
                 ),
                 "n_buckets": n_buckets,
+                **(extra_properties or {}),
             },
             files=[],
             txn={},

@@ -90,13 +90,18 @@ class TranscriptsApplier:
 
     def __post_init__(self) -> None:
         if self.sink_mode == "mor" and self.delete_mode == "soft":
-            # MoR reconstruct/compact drop delete winners outright; soft
-            # tombstones are a CoW-only feature until reconstruct() keeps
-            # them — reject rather than silently hard-delete
-            raise ValueError(
-                "sink_mode=mor does not support delete_mode=soft "
-                "(deletes would be applied hard); use sink_mode=cow"
+            # MoR deletes survive as tombstones only when the TABLE was
+            # created soft (reconstruct/compact read the property); a
+            # mismatch would silently hard-delete — reject it
+            prop = self.table.snapshot().properties.get(
+                "delete_mode", "hard"
             )
+            if prop != "soft":
+                raise ValueError(
+                    "sink_mode=mor with delete_mode=soft requires a "
+                    "table created with delete_mode='soft' "
+                    f"(table property is '{prop}')"
+                )
         bad = {"conv_id", "turn_idx"} & set(self.exclude_columns)
         if bad:
             raise ValueError(f"cannot exclude key columns: {sorted(bad)}")

@@ -55,8 +55,11 @@ def bootstrap_table(
     table_dir: str,
     n_buckets: int = 16,
     if_not_exists: bool = True,
+    delete_mode: str = "hard",
 ) -> LakeTable:
-    """CREATE the transcripts lake table, bucketed by conv_id."""
+    """CREATE the transcripts lake table, bucketed by the full key.
+    ``delete_mode`` is a TABLE property (it changes what a MoR read
+    means, so it must be fixed at create time, not per reader)."""
     return LakeTable.create(
         spark,
         table_dir,
@@ -65,6 +68,7 @@ def bootstrap_table(
         bucket_columns=KEY_COLS,
         n_buckets=n_buckets,
         if_not_exists=if_not_exists,
+        extra_properties={"delete_mode": delete_mode},
     )
 
 

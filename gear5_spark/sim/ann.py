@@ -141,6 +141,50 @@ def _table_buckets(
     ).select(out_id, F.col("tb.tbl").alias("tbl"), F.col("tb.bkt").alias("bkt"))
 
 
+def embedding_near_duplicates(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: multi-table sign-LSH
+    proposes candidates (bucket equi-join, hot buckets star-capped via
+    the shared ``_banded_pairs`` machinery), exact cosine >= threshold
+    confirms. The confirm step touches only candidate pairs — never the
+    O(n^2) cross join — which is the 10^9-vector dedup path."""
+    from gear5_spark.text.dedupe import _banded_pairs
+
+    banded = _table_buckets(
+        emb, id_col, "doc_id", n_planes, n_tables, dim, vec_col, seed=7
+    ).withColumnsRenamed({"tbl": "band", "bkt": "bucket"})
+    cand = _banded_pairs(banded, max_bucket_size)
+    va = emb.select(
+        F.col(id_col).alias("doc_id_a"), F.col(vec_col).alias("_va")
+    )
+    vb = emb.select(
+        F.col(id_col).alias("doc_id_b"), F.col(vec_col).alias("_vb")
+    )
+    return (
+        cand.join(va, "doc_id_a")
+        .join(vb, "doc_id_b")
+        .withColumn(
+            "cosine",
+            _dot(F.col("_va"), F.col("_vb"))
+            / (_norm(F.col("_va")) * _norm(F.col("_vb"))),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col("doc_id_a").alias("vec_id_a"),
+            F.col("doc_id_b").alias("vec_id_b"),
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )
+
+
 def lsh_cosine_topk(
     emb: DataFrame,
     queries: DataFrame,

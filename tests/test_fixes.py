@@ -69,22 +69,58 @@ def test_exclude_key_column_rejected(spark, tmp_path):
         make_applier(table, str(tmp_path / "c"), exclude_columns=["conv_id"])
 
 
-def test_mor_soft_delete_rejected(spark, tmp_path):
-    from gear5_spark.config import PipelineConfig
-
-    table = bootstrap_table(spark, str(tmp_path / "t"), n_buckets=4)
-    with pytest.raises(ValueError, match="mor"):
+def test_mor_soft_on_hard_table_rejected(spark, tmp_path):
+    """MoR soft-delete requires the TABLE to have been created soft —
+    applying soft deletes to a hard table would silently hard-delete."""
+    table = bootstrap_table(spark, str(tmp_path / "t"), n_buckets=4)  # hard
+    with pytest.raises(ValueError, match="delete_mode='soft'"):
         make_applier(
             table, str(tmp_path / "c"), sink_mode="mor", delete_mode="soft"
         )
-    cfg = PipelineConfig(
-        changelog_dir=str(tmp_path),
-        table_dir="t",
-        checkpoint_dir="c",
-        sink_mode="mor",
-        delete_mode="soft",
+
+
+def test_mor_soft_delete_keeps_tombstones(spark, tmp_path):
+    """sink_mode=mor + delete_mode=soft: delete winners survive
+    reconstruct AND compaction as tombstones with _cdc_deleted_at set."""
+    from gear5_spark.lake.merge import active
+    from gear5_spark.lake.mor import compact
+
+    log = str(tmp_path / "log")
+    payload = {"role": "u", "text": "x", "ts": 1_700_000_000}
+    os.makedirs(log)
+    tbl = pa.table(
+        {
+            "lsn": [0, 1, 2],
+            "txn_id": [0, 0, 0],
+            "txn_seq": [0, 1, 2],
+            "op": ["insert", "insert", "delete"],
+            "ts_ms": [1_700_000_000_000 + i for i in range(3)],
+            "conv_id": ["a", "b", "a"],
+            "turn_idx": [0, 0, 0],
+            "after_json": [json.dumps(payload), json.dumps(payload), None],
+        },
+        schema=CHANGE_SCHEMA,
     )
-    assert any("mor" in p for p in cfg.validate())
+    pq.write_table(tbl, os.path.join(log, "chunk-000000.parquet"))
+    table = bootstrap_table(
+        spark, str(tmp_path / "t"), n_buckets=4, delete_mode="soft"
+    )
+    applier = make_applier(
+        table, str(tmp_path / "c"), sink_mode="mor", delete_mode="soft",
+        compact_every=0,
+    )
+    applier(read_changelog(spark, log), 0)
+
+    df = table.read()
+    assert df.count() == 2  # tombstone for (a,0) retained
+    tomb = df.filter("conv_id = 'a'").first()
+    assert tomb["_cdc_deleted_at"] is not None
+    assert active(df).count() == 1  # readers filter tombstones
+
+    compact(table)  # tombstones survive compaction into base files
+    df2 = table.read()
+    assert df2.count() == 2
+    assert active(df2).count() == 1
 
 
 def test_quarantine_replay_is_idempotent(spark, tmp_path):
