@@ -698,6 +698,8 @@ def oracle_sql() -> dict[str, str]:
             "len(string_split_regex(trim(lower(text)), '\\s+')) AS n_tokens, "
             "len(list_distinct(string_split_regex(trim(lower(text)), '\\s+')))"
             " AS n_distinct_tokens, "
+            "len(regexp_extract_all(trim(lower(text)), "
+            "'[a-z]+|[0-9]+|[^\\sa-z0-9]+')) AS n_tokens_bpe, "
             "round(len(list_distinct(string_split_regex(trim(lower(text)), "
             "'\\s+'))) / len(string_split_regex(trim(lower(text)), '\\s+')), 6)"
             " AS type_token_ratio FROM documents"

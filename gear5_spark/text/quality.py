@@ -28,13 +28,25 @@ def tokens(col):
     return F.split(F.trim(F.lower(col)), r"\s+")
 
 
+# BPE-ish pre-tokenization: letter runs / digit runs / punctuation runs
+# (the lookahead-free core of GPT-2-style pre-tokenizers — portable to
+# RE2-based engines, so the SQL oracle computes the identical count)
+BPE_ISH_PATTERN = r"[a-z]+|[0-9]+|[^\sa-z0-9]+"
+
+
 def token_counts(docs: DataFrame) -> DataFrame:
-    """Whitespace token count + distinct-token count + type/token ratio."""
+    """Whitespace token count + distinct-token count + type/token ratio
+    + a BPE-ish subword-run count (letters/digits/punct split apart —
+    the usual LLM-budget proxy when the real tokenizer is off-cluster)."""
     t = tokens(F.col("text"))
+    bpe = F.regexp_extract_all(
+        F.trim(F.lower(F.col("text"))), F.lit(BPE_ISH_PATTERN), F.lit(0)
+    )
     return docs.select(
         "doc_id",
         F.size(t).alias("n_tokens"),
         F.size(F.array_distinct(t)).alias("n_distinct_tokens"),
+        F.size(bpe).alias("n_tokens_bpe"),
     ).withColumn(
         "type_token_ratio",
         F.round(F.col("n_distinct_tokens") / F.col("n_tokens"), 6),
