@@ -232,6 +232,19 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_rebucket(args) -> int:
+    from gear5_spark.lake.table import LakeTable
+
+    spark = _spark()
+    table = LakeTable(spark, args.table_dir)
+    snap = table.rebucket(args.n_buckets)
+    print(json.dumps({
+        "type": "LOG",
+        "message": f"rebucketed to {args.n_buckets} at snapshot v{snap.version}",
+    }))
+    return 0
+
+
 def cmd_vacuum(args) -> int:
     from gear5_spark.lake.table import LakeTable
 
@@ -259,6 +272,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--table-dir", required=True)
     p = sub.add_parser("compact")
     p.add_argument("--table-dir", required=True)
+    p = sub.add_parser("rebucket")
+    p.add_argument("--table-dir", required=True)
+    p.add_argument("--n-buckets", type=int, required=True)
     p = sub.add_parser("vacuum")
     p.add_argument("--table-dir", required=True)
     p.add_argument("--retention-sec", type=float, default=3600.0)
@@ -270,6 +286,7 @@ def main(argv: list[str] | None = None) -> int:
         "read": cmd_read,
         "state": cmd_state,
         "compact": cmd_compact,
+        "rebucket": cmd_rebucket,
         "vacuum": cmd_vacuum,
     }[args.cmd](args)
 

@@ -338,7 +338,10 @@ class LakeTable:
         return F.element_at(arr, F.col(BUCKET_COL) + 1)
 
     def write_data_files(
-        self, df: DataFrame, commit_token: str | None = None
+        self,
+        df: DataFrame,
+        commit_token: str | None = None,
+        n_buckets: int | None = None,
     ) -> tuple[str, list[dict[str, Any]]]:
         """Write ``df`` (must carry ``_bucket``) as immutable data files.
 
@@ -357,7 +360,9 @@ class LakeTable:
         commit = commit_token or f"c-{uuid.uuid4().hex}"
         rel_dir = os.path.join(DATA_DIR, commit)
         out_dir = os.path.join(self.table_dir, rel_dir)
-        n_buckets = self.snapshot().properties.get("n_buckets", 16)
+        n_buckets = n_buckets or self.snapshot().properties.get(
+            "n_buckets", 16
+        )
         with span("table.write_parquet"):
             (
                 df.repartition(
@@ -458,6 +463,7 @@ class LakeTable:
         txn_app_id: str | None = None,
         txn_batch_id: int | None = None,
         lineage: dict[str, Any] | None = None,
+        properties: dict[str, Any] | None = None,
     ) -> Snapshot:
         """Publish a new snapshot pointing at ``files`` (the FULL file
         set — internally diffed into per-commit manifests)."""
@@ -465,7 +471,7 @@ class LakeTable:
 
         with span("table.commit"):
             return self._commit(
-                files, schema, txn_app_id, txn_batch_id, lineage
+                files, schema, txn_app_id, txn_batch_id, lineage, properties
             )
 
     def _commit(
@@ -475,6 +481,7 @@ class LakeTable:
         txn_app_id: str | None,
         txn_batch_id: int | None,
         lineage: dict[str, Any] | None,
+        properties: dict[str, Any] | None = None,
     ) -> Snapshot:
         parent = self.snapshot()
         txn = dict(parent.txn)
@@ -505,7 +512,7 @@ class LakeTable:
             snapshot_id=snapshot_id,
             parent_version=parent.version,
             schema=schema or parent.schema,
-            properties=parent.properties,
+            properties=properties or parent.properties,
             files=files,
             txn=txn,
             lineage=lin,
@@ -586,6 +593,30 @@ class LakeTable:
         if not changes:
             return snap
         return self.commit(files=snap.files, schema=evolved)
+
+    def rebucket(self, n_buckets: int) -> Snapshot:
+        """Rewrite the table into a new bucket count — the re-bucketing
+        story for a table that outgrew its create-time ``n_buckets``
+        (bucket count caps write parallelism and merge granularity).
+        One atomic commit; O(table) data movement, so a maintenance
+        operation. MoR deltas are resolved into the new base (the read
+        reconstructs); old snapshots keep the old layout — time travel
+        still works until vacuumed."""
+        snap = self.snapshot()
+        if n_buckets == snap.properties["n_buckets"]:
+            return snap
+        cols = snap.properties.get("bucket_columns") or [
+            snap.properties.get("bucket_column")
+        ]
+        new_bucket = F.pmod(
+            F.xxhash64(*[F.col(c).cast("string") for c in cols]),
+            F.lit(n_buckets),
+        ).cast("int")
+        data = self.read(snapshot=snap).withColumn(BUCKET_COL, new_bucket)
+        _, entries = self.write_data_files(data, n_buckets=n_buckets)
+        props = dict(snap.properties)
+        props["n_buckets"] = n_buckets
+        return self.commit(files=entries, properties=props)
 
     def truncate(self) -> Snapshot:
         """TRUNCATE: new snapshot referencing no data files (old snapshots

@@ -83,3 +83,59 @@ def test_time_travel_resolves_old_manifest_lists(spark, tmp_path):
     table.commit(files=_fake_entries("b", range(4)))
     old = table.snapshot(1)
     assert {f["path"] for f in old.files} == {f["path"] for f in a}
+
+
+def test_rebucket_rewrites_layout_and_preserves_data(spark, tmp_path):
+    """Re-bucketing: new bucket count, same rows, pruned lookups still
+    correct, old snapshots keep the old layout (time travel)."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq_
+    from gen_fixtures import CHANGE_SCHEMA
+    import pyarrow as pa
+
+    from gear5_spark.pipeline.runner import bootstrap_table, make_applier
+    from gear5_spark.sources.changelog import read_changelog
+
+    log = str(tmp_path / "log")
+    os.makedirs(log)
+    n = 40
+    payload = [
+        json.dumps({"role": "u", "text": f"t{i}", "ts": 1_700_000_000 + i})
+        for i in range(n)
+    ]
+    tbl = pa.table(
+        {
+            "lsn": list(range(n)),
+            "txn_id": [0] * n,
+            "txn_seq": list(range(n)),
+            "op": ["insert"] * n,
+            "ts_ms": [1_700_000_000_000 + i for i in range(n)],
+            "conv_id": [f"c{i}" for i in range(n)],
+            "turn_idx": [0] * n,
+            "after_json": payload,
+        },
+        schema=CHANGE_SCHEMA,
+    )
+    pq_.write_table(tbl, os.path.join(log, "chunk-000000.parquet"))
+
+    table = bootstrap_table(spark, str(tmp_path / "t"), n_buckets=4)
+    make_applier(table, str(tmp_path / "c"))(read_changelog(spark, log), 0)
+    before = {r["conv_id"]: r["text"] for r in table.read().collect()}
+    v_old = table.current_version()
+
+    table.rebucket(8)
+    snap = table.snapshot()
+    assert snap.properties["n_buckets"] == 8
+    assert {f["bucket"] for f in snap.files} <= set(range(8))
+    assert len({f["bucket"] for f in snap.files}) > 4  # actually spread
+    after = {r["conv_id"]: r["text"] for r in table.read().collect()}
+    assert after == before
+    # pruned point lookup uses the NEW layout
+    row = table.lookup(conv_id="c7", turn_idx=0).collect()
+    assert len(row) == 1 and row[0]["text"] == "t7"
+    # time travel: the old snapshot still resolves with the old layout
+    old = table.snapshot(v_old)
+    assert old.properties["n_buckets"] == 4
+    assert table.read(snapshot=old).count() == n
