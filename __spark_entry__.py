@@ -5,8 +5,13 @@ change log into the lake table, returning the final state.
 
 ``queries()`` / ``oracle_sql()`` — one entry per operator from SURVEY.md §2
 plus the training-data-pipeline operators (dedup / similarity / text
-analysis). Every SQL-expressible query has a DuckDB oracle; engine-native
-ops (LSH dedup, SimHash, CDC replay) are rows-only checks.
+analysis / profiling). 34 of 37 queries carry a DuckDB oracle — including
+the full CDC replay, snapshot diff, payload type inference and the
+LSH-candidates-plus-exact-confirm dedup paths (oracle equality there
+proves LSH recall 1.0). The 3 rows-only entries are raw hash-family-
+specific candidate sets (Spark xxhash64 is not reproducible in SQL);
+their QUALITY is verified by recall self-checks in tests/test_recall.py
+and the bench `recall` block.
 """
 
 from __future__ import annotations
