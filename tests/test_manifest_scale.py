@@ -139,3 +139,58 @@ def test_rebucket_rewrites_layout_and_preserves_data(spark, tmp_path):
     old = table.snapshot(v_old)
     assert old.properties["n_buckets"] == 4
     assert table.read(snapshot=old).count() == n
+
+
+def test_manifest_list_matches_inline_model_under_random_commits(
+    spark, tmp_path
+):
+    """Property: for any sequence of whole-bucket commit operations
+    (append / rewrite-buckets / truncate / full-rewrite), the
+    manifest-list resolution equals a plain inline-files model, at every
+    version (time travel included)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    ops = st.lists(
+        st.one_of(
+            st.tuples(st.just("append"), st.sets(st.integers(0, 3), min_size=1)),
+            st.tuples(st.just("rewrite"), st.sets(st.integers(0, 3), min_size=1)),
+            st.tuples(st.just("truncate"), st.just(set())),
+            st.tuples(st.just("full"), st.just({0, 1, 2, 3})),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+
+    case = [0]
+
+    @settings(
+        max_examples=20,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(ops)
+    def run(sequence):
+        case[0] += 1
+        table = _mk(spark, tmp_path / f"case{case[0]}")
+        model: list[dict] = []  # the inline-files ground truth
+        history = [list(model)]
+        for i, (op, buckets) in enumerate(sequence):
+            new = _fake_entries(f"c{case[0]}-{i}", sorted(buckets))
+            if op == "append":
+                model = model + new
+            elif op == "rewrite":
+                model = [f for f in model if f["bucket"] not in buckets] + new
+            elif op == "truncate":
+                model = []
+            elif op == "full":
+                model = new
+            table.commit(files=list(model))
+            history.append(list(model))
+        for v, want in enumerate(history):
+            got = table.snapshot(v).files
+            assert {f["path"] for f in got} == {f["path"] for f in want}, (
+                f"version {v} diverged"
+            )
+
+    run()
