@@ -542,6 +542,74 @@ def _q_snapshot_diff(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _winner_turns(spark, sf_dir):
+    """LWW-fold winners of the derived change feed as typed turns —
+    input for the conversation-level queries, recomputable in SQL."""
+    from gear5_spark.operators.dedup import latest_per_key
+
+    win = latest_per_key(
+        _derived_changes(spark, sf_dir), ["conv_id", "turn_idx"],
+        ("lsn", "txn_seq"),
+    )
+    payload = F.from_json(
+        F.col("after_json"), "role string, text string, ts long"
+    )
+    return win.filter(F.col("op") != "delete").select(
+        "conv_id",
+        "turn_idx",
+        payload["role"].alias("role"),
+        payload["text"].alias("text"),
+        F.timestamp_seconds(payload["ts"]).alias("ts"),
+    )
+
+
+def _q_conversation_render(spark, sf_dir):
+    # conversation as a first-class unit: every turn of every replayed
+    # conversation rendered in stable turn order (one hash aggregation,
+    # array_sort(collect_list) — no second shuffle)
+    from gear5_spark.operators.conversations import render_conversations
+
+    return render_conversations(_winner_turns(spark, sf_dir))
+
+
+def _q_conversation_stats(spark, sf_dir):
+    from gear5_spark.operators.conversations import conversation_stats
+
+    return conversation_stats(_winner_turns(spark, sf_dir))
+
+
+def _q_sessionize(spark, sf_dir):
+    # gap-based sessionization (30-min inactivity) over the raw event
+    # stream; exact-microsecond gap arithmetic matches the SQL oracle
+    from gear5_spark.operators.conversations import gap_sessionize
+
+    s = gap_sessionize(
+        _t(spark, sf_dir, "events"), key_col="user_id", ts_col="ts",
+        gap_sec=1800,
+    )
+    return s.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+def _q_asof_attribution(spark, sf_dir):
+    # as-of join (union-window formulation, single shuffle, no range
+    # explosion): each purchase attributed to the same user's latest
+    # click at-or-before it; oracle is DuckDB's native ASOF LEFT JOIN
+    from gear5_spark.operators.conversations import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_event_id"), "user_id", "ts"
+    )
+    return asof_join(purchases, clicks, on="user_id")
+
+
 def _q_media_features(spark, sf_dir):
     # multimodal plumbing: deterministic synthetic media -> Arrow-batched
     # feature extraction (codec stubbed; plumbing real)
@@ -598,6 +666,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": _q_snapshot_diff,
         "media_features": _q_media_features,
         "media_dedup": _q_media_dedup,
+        "conversation_render": _q_conversation_render,
+        "conversation_stats": _q_conversation_stats,
+        "sessionize": _q_sessionize,
+        "asof_attribution": _q_asof_attribution,
     }
 
 
@@ -843,6 +915,55 @@ def oracle_sql() -> dict[str, str]:
             "SELECT sha256(s) AS content_sha256, "
             "min(media_id) AS keep_media_id, count(*) AS dup_count "
             "FROM u GROUP BY 1"
+        ),
+        "conversation_render": (
+            f"WITH {_DERIVED_CHANGES_SQL}, "
+            "w AS (SELECT *, row_number() OVER (PARTITION BY conv_id, "
+            "turn_idx ORDER BY lsn DESC, txn_seq DESC) AS rn FROM ch), "
+            "t AS (SELECT conv_id, turn_idx, role, text FROM w "
+            "WHERE rn = 1 AND op <> 'delete') "
+            "SELECT conv_id, count(*) AS n_turns, "
+            "string_agg(role || ': ' || text, chr(10) "
+            "ORDER BY turn_idx) AS transcript "
+            "FROM t GROUP BY conv_id"
+        ),
+        "conversation_stats": (
+            f"WITH {_DERIVED_CHANGES_SQL}, "
+            "w AS (SELECT *, row_number() OVER (PARTITION BY conv_id, "
+            "turn_idx ORDER BY lsn DESC, txn_seq DESC) AS rn FROM ch), "
+            "t AS (SELECT conv_id, turn_idx, role, text, "
+            "make_timestamp(ts_s * 1000000) AS ts FROM w "
+            "WHERE rn = 1 AND op <> 'delete') "
+            "SELECT conv_id, count(*) AS n_turns, "
+            "count(DISTINCT role) AS n_roles, "
+            "CAST(sum(length(text)) AS BIGINT) AS total_chars, "
+            "min(ts) AS first_ts, max(ts) AS last_ts, "
+            "CAST(epoch(max(ts)) - epoch(min(ts)) AS BIGINT) AS duration_s "
+            "FROM t GROUP BY conv_id"
+        ),
+        "sessionize": (
+            "WITH g AS (SELECT user_id, ts, "
+            "CASE WHEN lag(ts) OVER "
+            "(PARTITION BY user_id ORDER BY ts) IS NULL "
+            "OR epoch_us(ts) - epoch_us(lag(ts) OVER "
+            "(PARTITION BY user_id ORDER BY ts)) > 1800000000 "
+            "THEN 1 ELSE 0 END AS brk FROM events), "
+            "s AS (SELECT user_id, ts, CAST(sum(brk) OVER "
+            "(PARTITION BY user_id ORDER BY ts "
+            "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx FROM g) "
+            "SELECT user_id, session_idx, count(*) AS n_events, "
+            "min(ts) AS session_start, max(ts) AS session_end "
+            "FROM s GROUP BY user_id, session_idx"
+        ),
+        "asof_attribution": (
+            "WITH p AS (SELECT event_id, user_id, ts, value FROM events "
+            "WHERE event_type = 'purchase'), "
+            "c AS (SELECT event_id AS click_event_id, user_id, ts "
+            "FROM events WHERE event_type = 'click') "
+            "SELECT p.event_id, p.user_id, p.ts, p.value, "
+            "c.click_event_id, c.ts AS ts_asof "
+            "FROM p ASOF LEFT JOIN c "
+            "ON p.user_id = c.user_id AND p.ts >= c.ts"
         ),
         # minhash_lsh_pairs / simhash_pairs / lsh_cosine_topk: raw LSH
         # candidate sets are hash-family-specific (Spark xxhash64) —
