@@ -144,6 +144,80 @@ def _load_manifest(table_dir: str, rel_path: str) -> list[dict[str, Any]]:
     return cached
 
 
+def _json_stat(v: Any) -> Any:
+    """Canonical JSON-safe form for a parquet stat value (and for filter
+    operands, so comparisons are always like-vs-like): timestamps/dates
+    become epoch microseconds (naive = UTC, matching the session tz),
+    bytes decode to str, scalars pass through."""
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return int(
+            (v - _dt.datetime(1970, 1, 1)).total_seconds() * 1_000_000
+        )
+    if isinstance(v, _dt.date):
+        return int(
+            (
+                _dt.datetime(v.year, v.month, v.day) - _dt.datetime(1970, 1, 1)
+            ).total_seconds()
+            * 1_000_000
+        )
+    if isinstance(v, bytes):
+        return v.decode("utf-8", errors="surrogateescape")
+    return v
+
+
+def _collect_file_stats(
+    meta, stat_idx: dict[str, int] | None
+) -> dict[str, list[Any]]:
+    """Per-file [min, max] for the chosen columns, folded across row
+    groups from footer statistics. Writer-truncated string bounds stay
+    valid bounds (prefix min / incremented max), so pruning on them is
+    conservative-correct. Columns without stats (e.g. all-null) are
+    omitted — absence means 'cannot prune'."""
+    out: dict[str, list[Any]] = {}
+    for col, idx in (stat_idx or {}).items():
+        lo = hi = None
+        ok = True
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        if ok and lo is not None:
+            out[col] = [_json_stat(lo), _json_stat(hi)]
+    return out
+
+
+def _file_may_match(
+    entry: dict[str, Any], col: str, op: str, val: Any
+) -> bool:
+    st = entry.get("stats", {}).get(col)
+    if not st:
+        return True  # no stats recorded -> cannot prune
+    lo, hi = st
+    if lo is None or hi is None:
+        return True
+    try:
+        if op == "=":
+            return lo <= val <= hi
+        if op == "<":
+            return lo < val
+        if op == "<=":
+            return lo <= val
+        if op == ">":
+            return hi > val
+        if op == ">=":
+            return hi >= val
+    except TypeError:  # mixed-type comparison -> keep the file
+        return True
+    return True
+
+
 def _resolve_files(
     table_dir: str, manifest_list: list[dict[str, Any]]
 ) -> list[dict[str, Any]]:
@@ -266,6 +340,14 @@ class LakeTable:
         if buckets is not None:
             want = set(buckets)
             files = [f for f in files if f["bucket"] in want]
+        return self._read_files(snap, files, with_internal)
+
+    def _read_files(
+        self,
+        snap: Snapshot,
+        files: list[dict[str, Any]],
+        with_internal: bool = False,
+    ) -> DataFrame:
         if any(f.get("kind") == "delta" for f in files):
             # MoR snapshot: merge base + deltas at read time
             from gear5_spark.lake.mor import reconstruct
@@ -279,6 +361,67 @@ class LakeTable:
             df = self.spark.read.schema(read_schema).parquet(*paths)
         if not with_internal:
             df = df.select(*[f.name for f in snap.schema.fields])
+        return df
+
+    _SCAN_OPS = ("=", "<", "<=", ">", ">=")
+
+    def plan_scan(
+        self,
+        filters: list[tuple[str, str, Any]],
+        snapshot: Snapshot | None = None,
+    ) -> tuple[list[dict[str, Any]], int]:
+        """File-skipping plan: ``(files_to_read, files_skipped)`` for
+        conjunctive ``(col, op, value)`` filters, pruned against the
+        per-file min/max stats recorded in the manifests at write time.
+        No footer is opened — stats-based skipping is pure metadata, so
+        a 100 TB table with a tight ``ts`` range reads only the files
+        whose range intersects.
+
+        On a MoR snapshot pruning degrades to bucket granularity: a
+        bucket is skipped only when NONE of its base or delta files may
+        match — pruning a base file whose rows were updated by a kept
+        delta (or vice versa) would corrupt reconstruction.
+        """
+        for _c, op, _v in filters:
+            if op not in self._SCAN_OPS:
+                raise ValueError(f"unsupported scan op {op!r}")
+        snap = snapshot or self.snapshot()
+        norm = [(c, op, _json_stat(v)) for c, op, v in filters]
+        files = snap.files
+        keep = [
+            f
+            for f in files
+            if all(_file_may_match(f, c, o, v) for c, o, v in norm)
+        ]
+        if any(f.get("kind") == "delta" for f in files):
+            live_buckets = {f["bucket"] for f in keep}
+            keep = [f for f in files if f["bucket"] in live_buckets]
+        return keep, len(files) - len(keep)
+
+    def scan(
+        self,
+        filters: list[tuple[str, str, Any]],
+        snapshot: Snapshot | None = None,
+        with_internal: bool = False,
+    ) -> DataFrame:
+        """Filtered read with manifest-stats file skipping: prune via
+        :meth:`plan_scan`, read survivors, then apply the exact filters
+        as Spark predicates (which also push down into the parquet scan
+        for row-group skipping)."""
+        snap = snapshot or self.snapshot()
+        keep, _skipped = self.plan_scan(filters, snap)
+        df = self._read_files(snap, keep, with_internal)
+        for c, op, v in filters:
+            col = F.col(c)
+            df = df.filter(
+                {
+                    "=": col == F.lit(v),
+                    "<": col < F.lit(v),
+                    "<=": col <= F.lit(v),
+                    ">": col > F.lit(v),
+                    ">=": col >= F.lit(v),
+                }[op]
+            )
         return df
 
     def bucket_expr(self, snap: Snapshot | None = None):
@@ -375,9 +518,31 @@ class LakeTable:
             entries = self._scan_written(out_dir, pq)
         return commit, entries
 
+    def _stats_columns(self, meta) -> dict[str, int]:
+        """Footer column indexes to collect min/max stats for: the table's
+        ``stats_columns`` property, or (default) bucket columns plus any
+        timestamp columns — the axes incremental/recency reads filter on."""
+        snap = self.snapshot()
+        want = snap.properties.get("stats_columns")
+        if want is None:
+            want = list(
+                snap.properties.get("bucket_columns")
+                or [snap.properties.get("bucket_column")]
+            )
+            want += [
+                f.name
+                for f in snap.schema.fields
+                if isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType))
+            ]
+        names = {
+            meta.schema.column(i).name: i for i in range(meta.num_columns)
+        }
+        return {c: names[c] for c in want if c in names}
+
     def _scan_written(self, out_dir: str, pq) -> list[dict[str, Any]]:
         entries: list[dict[str, Any]] = []
         bucket_idx = None
+        stat_idx: dict[str, int] | None = None
         for root, _dirs, names in os.walk(out_dir):
             for name in names:
                 if not name.endswith(".parquet"):
@@ -391,6 +556,7 @@ class LakeTable:
                         meta.schema.column(i).name: i
                         for i in range(meta.num_columns)
                     }[BUCKET_COL]
+                    stat_idx = self._stats_columns(meta)
                 bmin = bmax = None
                 for rg in range(meta.num_row_groups):
                     st = meta.row_group(rg).column(bucket_idx).statistics
@@ -401,9 +567,15 @@ class LakeTable:
                         f"file {name} spans buckets {bmin}..{bmax}"
                     )
                 rel = os.path.relpath(full, self.table_dir)
-                entries.append(
-                    {"path": rel, "bucket": int(bmin), "rows": meta.num_rows}
-                )
+                entry = {
+                    "path": rel,
+                    "bucket": int(bmin),
+                    "rows": meta.num_rows,
+                }
+                stats = _collect_file_stats(meta, stat_idx)
+                if stats:
+                    entry["stats"] = stats
+                entries.append(entry)
         return entries
 
     def _build_manifest_list(
