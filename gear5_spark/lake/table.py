@@ -61,7 +61,12 @@ CDC_DELETED_AT = "_cdc_deleted_at"
 
 
 class ConcurrentCommitError(RuntimeError):
-    """Another writer published this version first (single-writer expected)."""
+    """Commit refused: txn replay, unrebaseable race, or retries spent."""
+
+
+class CommitRaceLost(ConcurrentCommitError):
+    """Another writer published this exact version first — the commit is
+    retryable after rebasing onto the new current snapshot."""
 
 
 class SchemaEvolutionError(ValueError):
@@ -448,7 +453,7 @@ class LakeTable:
         try:
             os.link(tmp, final)  # atomic create-if-absent on POSIX
         except FileExistsError as e:
-            raise ConcurrentCommitError(
+            raise CommitRaceLost(
                 f"version {snap.version} already committed"
             ) from e
         finally:
@@ -646,6 +651,10 @@ class LakeTable:
                 files, schema, txn_app_id, txn_batch_id, lineage, properties
             )
 
+    # how many times a commit that loses the publish race rebases onto
+    # the winner and retries before giving up
+    COMMIT_RETRIES = 3
+
     def _commit(
         self,
         files: list[dict[str, Any]],
@@ -655,7 +664,76 @@ class LakeTable:
         lineage: dict[str, Any] | None,
         properties: dict[str, Any] | None = None,
     ) -> Snapshot:
+        """Optimistic concurrency: attempt the commit against the current
+        snapshot; when another writer wins the version race, rebase this
+        commit's file delta onto the winner (Iceberg-style validation —
+        every file this commit logically removed must still be live in
+        the winner, else the two commits rewrote the same data and the
+        race is a REAL conflict) and retry. Disjoint-bucket writers and
+        pure appenders (MoR deltas) therefore both make progress without
+        coordination; conflicting rewrites of the same files raise."""
         parent = self.snapshot()
+        for _attempt in range(self.COMMIT_RETRIES + 1):
+            try:
+                return self._commit_once(
+                    parent, files, schema, txn_app_id, txn_batch_id,
+                    lineage, properties,
+                )
+            except CommitRaceLost:
+                if _attempt == self.COMMIT_RETRIES:
+                    raise
+                winner = self.snapshot()
+                files = self._rebase_files(parent, files, winner)
+                if schema is not None:
+                    from gear5_spark.operators.typing import merge_schemas
+
+                    schema, _ = merge_schemas(
+                        winner.schema, schema, allow_widen=False
+                    )
+                parent = winner
+        raise AssertionError("unreachable")  # pragma: no cover
+
+    def _rebase_files(
+        self,
+        base: Snapshot,
+        files: list[dict[str, Any]],
+        winner: Snapshot,
+    ) -> list[dict[str, Any]]:
+        """Replay this commit's add/remove delta (relative to ``base``)
+        on top of ``winner``'s file set. Raises when a file this commit
+        removed is no longer live in the winner — both commits rewrote
+        the same data and the later one was computed from stale inputs."""
+        if winner.properties != base.properties:
+            raise ConcurrentCommitError(
+                "concurrent table-property change (e.g. rebucket) — "
+                "recompute the commit against the new layout"
+            )
+        mine_paths = {f["path"] for f in files}
+        base_paths = {f["path"] for f in base.files}
+        added = [f for f in files if f["path"] not in base_paths]
+        removed = base_paths - mine_paths
+        winner_paths = {f["path"] for f in winner.files}
+        gone = removed - winner_paths
+        if gone:
+            raise ConcurrentCommitError(
+                f"conflict: {len(gone)} file(s) this commit rewrote were "
+                "concurrently rewritten (first: "
+                f"{next(iter(sorted(gone)))})"
+            )
+        return [
+            f for f in winner.files if f["path"] not in removed
+        ] + added
+
+    def _commit_once(
+        self,
+        parent: Snapshot,
+        files: list[dict[str, Any]],
+        schema: T.StructType | None,
+        txn_app_id: str | None,
+        txn_batch_id: int | None,
+        lineage: dict[str, Any] | None,
+        properties: dict[str, Any] | None = None,
+    ) -> Snapshot:
         txn = dict(parent.txn)
         if txn_app_id is not None:
             if txn_batch_id is None:

@@ -1,0 +1,146 @@
+"""Optimistic concurrency: losers of the publish race rebase their file
+delta onto the winner and retry; true same-file conflicts raise."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from gear5_spark.lake.merge import merge_into
+from gear5_spark.lake.table import (
+    BUCKET_COL,
+    CommitRaceLost,
+    ConcurrentCommitError,
+    LakeTable,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.StringType(), False),
+        T.StructField("v", T.LongType(), True),
+        T.StructField("_cdc_lsn", T.StringType(), True),
+        T.StructField("_cdc_updated_at", T.TimestampType(), True),
+        T.StructField("_cdc_deleted_at", T.TimestampType(), True),
+    ]
+)
+
+_BATCH_SCHEMA = T.StructType(
+    list(SCHEMA.fields) + [T.StructField("op", T.StringType(), False)]
+)
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(
+        [(k, v, str(lsn), None, None, "insert") for (k, v, lsn) in rows],
+        _BATCH_SCHEMA,
+    )
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), schema=SCHEMA, key_columns=["k"],
+        n_buckets=4,
+    )
+    merge_into(t, _batch(spark, [(f"k{i}", i, i) for i in range(8)]))
+    return t
+
+
+def _write_entries(spark, table, rows):
+    """Data files for an append (no removals), bucketed like the table."""
+    df = spark.createDataFrame(
+        [(k, v, str(lsn), None, None) for (k, v, lsn) in rows], SCHEMA
+    ).withColumn(BUCKET_COL, table.bucket_expr())
+    _, entries = table.write_data_files(df)
+    return entries
+
+
+def _race_once(spark, table, competitor_fn):
+    """Patch the table so the FIRST publish attempt is beaten by
+    ``competitor_fn`` (run through an independent LakeTable handle on
+    the same directory), deterministically simulating a lost race."""
+    other = LakeTable(spark, table.table_dir)
+    orig = table._publish
+    state = {"raced": False}
+
+    def racing_publish(snap):
+        if not state["raced"]:
+            state["raced"] = True
+            competitor_fn(other)
+        orig(snap)
+
+    table._publish = racing_publish
+    return state
+
+
+def test_lost_race_rebases_and_succeeds(spark, table):
+    v0 = table.current_version()
+    snap0 = table.snapshot()
+    mine = _write_entries(spark, table, [("mine", 100, 100)])
+    theirs_entries = _write_entries(spark, table, [("theirs", 200, 200)])
+
+    state = _race_once(
+        spark, table,
+        lambda other: other.commit(other.snapshot().files + theirs_entries),
+    )
+    table.commit(snap0.files + mine)
+
+    assert state["raced"]
+    assert table.current_version() == v0 + 2  # competitor + rebased commit
+    final = {f["path"] for f in table.snapshot().files}
+    assert {e["path"] for e in mine} <= final
+    assert {e["path"] for e in theirs_entries} <= final
+    ks = {r["k"] for r in table.read().collect()}
+    assert {"mine", "theirs"} <= ks
+
+
+def test_same_file_rewrite_conflict_raises(spark, table):
+    snap0 = table.snapshot()
+    victim = snap0.files[0]
+    mine = _write_entries(spark, table, [("mine", 100, 100)])
+    my_files = [f for f in snap0.files if f["path"] != victim["path"]] + mine
+
+    def competitor(other):
+        # the competitor also drops the victim file (rewrites its bucket)
+        osnap = other.snapshot()
+        other.commit([f for f in osnap.files if f["path"] != victim["path"]])
+
+    _race_once(spark, table, competitor)
+    with pytest.raises(ConcurrentCommitError, match="concurrently rewritten"):
+        table.commit(my_files)
+
+
+def test_retries_exhausted_raises_race_lost(spark, table):
+    snap0 = table.snapshot()
+    other = LakeTable(spark, table.table_dir)
+    orig = table._publish
+
+    def always_beaten(snap):
+        other.commit(other.snapshot().files)  # empty-delta competitor
+        orig(snap)
+
+    table._publish = always_beaten
+    with pytest.raises(CommitRaceLost):
+        table.commit(snap0.files)
+
+
+def test_property_change_race_conflicts(spark, table):
+    snap0 = table.snapshot()
+    mine = _write_entries(spark, table, [("mine", 100, 100)])
+
+    _race_once(spark, table, lambda other: other.rebucket(8))
+    with pytest.raises(ConcurrentCommitError, match="property"):
+        table.commit(snap0.files + mine)
+
+
+def test_txn_replay_not_retried(spark, table):
+    merge_into(
+        table, _batch(spark, [("z", 1, 50)]), txn_app_id="app",
+        txn_batch_id=7,
+    )
+    # replaying the same batch id must fail IMMEDIATELY (exactly-once),
+    # not spin through the rebase loop
+    with pytest.raises(ConcurrentCommitError, match="already committed"):
+        table.commit(
+            files=table.snapshot().files, txn_app_id="app", txn_batch_id=7
+        )
