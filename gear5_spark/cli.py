@@ -15,6 +15,8 @@ as ``python -m gear5_spark <cmd>``:
                 STATE messages, queryable after the fact)
 - ``compact``   fold MoR delta files into base (maintenance)
 - ``vacuum``    delete data unreachable from any snapshot
+- ``expire``    drop old snapshot metadata (bounds the log; lineage
+                archived first, freed data becomes vacuum-eligible)
 
 All output is one JSON document per command on stdout (the reference's
 message protocol, types/catalog.go:11-20, minus the per-record stream —
@@ -204,7 +206,10 @@ def cmd_state(args) -> int:
     # lineage is one entry per snapshot; the tail = last 5 commits' rows
     tail = []
     for v in range(max(0, snap.version - 4), snap.version + 1):
-        tail.extend(table.snapshot(v).lineage)
+        try:
+            tail.extend(table.snapshot(v).lineage)
+        except FileNotFoundError:  # expired by expire_snapshots
+            continue
     print(json.dumps({
         "type": "STATE",
         "snapshot_version": snap.version,
@@ -256,6 +261,19 @@ def cmd_vacuum(args) -> int:
     return 0
 
 
+def cmd_expire(args) -> int:
+    from gear5_spark.lake.table import LakeTable
+
+    spark = _spark()
+    table = LakeTable(spark, args.table_dir)
+    expired = table.expire_snapshots(
+        keep_last=args.keep_last, older_than_ms=args.older_than_ms
+    )
+    print(json.dumps({"type": "LOG", "expired_versions": expired,
+                      "keep_last": args.keep_last}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="gear5_spark", description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -278,6 +296,10 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("vacuum")
     p.add_argument("--table-dir", required=True)
     p.add_argument("--retention-sec", type=float, default=3600.0)
+    p = sub.add_parser("expire")
+    p.add_argument("--table-dir", required=True)
+    p.add_argument("--keep-last", type=int, default=10)
+    p.add_argument("--older-than-ms", type=int, default=None)
     args = ap.parse_args(argv)
     return {
         "spec": cmd_spec,
@@ -288,6 +310,7 @@ def main(argv: list[str] | None = None) -> int:
         "compact": cmd_compact,
         "rebucket": cmd_rebucket,
         "vacuum": cmd_vacuum,
+        "expire": cmd_expire,
     }[args.cmd](args)
 
 

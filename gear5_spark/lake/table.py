@@ -309,14 +309,31 @@ class LakeTable:
 
     def snapshot(self, version: int | None = None) -> Snapshot:
         v = self.current_version() if version is None else version
-        with open(_manifest_path(self.table_dir, v)) as fh:
-            snap = Snapshot.from_json(fh.read())
+        path = _manifest_path(self.table_dir, v)
+        try:
+            with open(path) as fh:
+                snap = Snapshot.from_json(fh.read())
+        except FileNotFoundError:
+            raise FileNotFoundError(
+                f"snapshot v{v} not found in {self.table_dir} — "
+                "expired (expire_snapshots) or never committed"
+            ) from None
         if snap.manifest_list is not None:
             snap.files = _resolve_files(self.table_dir, snap.manifest_list)
         return snap
 
+    def _list_versions(self) -> list[int]:
+        d = os.path.join(self.table_dir, MANIFEST_DIR)
+        return sorted(
+            int(f[1:9])
+            for f in os.listdir(d)
+            if f.startswith("v") and f.endswith(".json")
+        )
+
     def history(self) -> list[Snapshot]:
-        return [self.snapshot(v) for v in range(self.current_version() + 1)]
+        """Every RETAINED snapshot, oldest first (versions expired by
+        :meth:`expire_snapshots` are absent)."""
+        return [self.snapshot(v) for v in self._list_versions()]
 
     # ----------------------------------------------------------------- reads
     @property
@@ -878,12 +895,90 @@ class LakeTable:
         shutil.rmtree(self.table_dir)
 
     # ------------------------------------------------------------ utilities
+    _LINEAGE_ARCHIVE = "lineage-archive.jsonl"
+
+    def expire_snapshots(
+        self,
+        keep_last: int = 1,
+        older_than_ms: int | None = None,
+    ) -> list[int]:
+        """Drop old snapshot metadata, bounding the metadata log the way
+        Iceberg's ``expireSnapshots`` does. Keeps the newest ``keep_last``
+        versions (at least the current one); with ``older_than_ms`` only
+        versions committed before that epoch-ms cutoff expire.
+
+        Expired versions are no longer time-travel targets; data files
+        they referenced exclusively become vacuum-eligible orphans
+        (collect with :meth:`vacuum`), and per-commit manifest files no
+        retained snapshot references are deleted here. Lineage/metrics
+        rows of expired commits are appended to a JSONL archive first, so
+        :meth:`lineage_df` keeps the full metrics history — expiration
+        never loses observability, only time travel."""
+        keep_last = max(1, keep_last)
+        versions = self._list_versions()
+        candidates = versions[:-keep_last]
+        expire: list[Snapshot] = []
+        for v in candidates:
+            s = self.snapshot(v)
+            if older_than_ms is None or s.committed_at_ms < older_than_ms:
+                expire.append(s)
+        if not expire:
+            return []
+        # archive lineage BEFORE removing metadata (idempotent: readers
+        # dedupe by snapshot_version, so a crash-rerun double-append is
+        # harmless)
+        arch = os.path.join(self.table_dir, MANIFEST_DIR, self._LINEAGE_ARCHIVE)
+        with open(arch, "a") as fh:
+            for s in expire:
+                for entry in s.lineage:
+                    fh.write(json.dumps(entry, separators=(",", ":")) + "\n")
+            fh.flush()
+            os.fsync(fh.fileno())
+        for s in expire:
+            os.unlink(_manifest_path(self.table_dir, s.version))
+        # manifests referenced by no retained snapshot are dead metadata
+        live_manifests = set()
+        for s in self.history():
+            for m in s.manifest_list or []:
+                live_manifests.add(m["path"])
+        mdir = os.path.join(self.table_dir, MANIFEST_DIR)
+        for name in os.listdir(mdir):
+            rel = os.path.join(MANIFEST_DIR, name)
+            if name.startswith("m-") and rel not in live_manifests:
+                os.unlink(os.path.join(mdir, name))
+                _MANIFEST_FILE_CACHE.pop(
+                    os.path.join(self.table_dir, rel), None
+                )
+        return [s.version for s in expire]
+
+    def _archived_lineage(self) -> list[dict[str, Any]]:
+        arch = os.path.join(self.table_dir, MANIFEST_DIR, self._LINEAGE_ARCHIVE)
+        if not os.path.exists(arch):
+            return []
+        rows: list[dict[str, Any]] = []
+        with open(arch) as fh:
+            for line in fh:
+                if line.strip():
+                    rows.append(json.loads(line))
+        return rows
+
     def lineage_df(self) -> DataFrame:
-        """Lineage/metrics rows of every commit, as a DataFrame (A3/§FIXTURES.4)."""
+        """Lineage/metrics rows of every commit, as a DataFrame
+        (A3/§FIXTURES.4) — including commits whose snapshots were
+        expired (read back from the archive, deduped by version)."""
         rows = []
+        seen: set[int] = set()
+        for entry in self._archived_lineage():
+            v = entry.get("snapshot_version")
+            if v not in seen:
+                seen.add(v)
+                rows.append(entry)
         for s in self.history():
             for entry in s.lineage:
-                if entry.get("snapshot_version") == s.version:
+                if (
+                    entry.get("snapshot_version") == s.version
+                    and s.version not in seen
+                ):
                     rows.append(entry)
         schema = T.StructType(
             [
