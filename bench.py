@@ -358,6 +358,47 @@ def main() -> None:
     }
     shutil.rmtree(ctab_dir, ignore_errors=True)
 
+    # --- manifest-stats file skipping: pruning is pure metadata (no
+    # footers opened), so planning a tight ts-range scan over a
+    # many-commit table must stay millisecond-scale AND skip nearly all
+    # files. Synthetic manifests modeled on an append-mostly feed: each
+    # commit carries one day of data.
+    stab_dir = f"{BENCH_WORK_ROOT}/stats-skip"
+    shutil.rmtree(stab_dir, ignore_errors=True)
+    stab = LakeTable.create(
+        spark, stab_dir,
+        schema=T.StructType([T.StructField("k", T.StringType(), False)]),
+        key_columns=["k"], n_buckets=16,
+    )
+    day_us = 86_400_000_000
+    sfiles: list[dict] = []
+    n_days = 256
+    for day in range(n_days):
+        lo, hi = day * day_us, (day + 1) * day_us - 1
+        sfiles = sfiles + [
+            {
+                "path": f"data/d{day}/f{b}.parquet",
+                "bucket": b,
+                "rows": 1000,
+                "stats": {"ts": [lo, hi]},
+            }
+            for b in range(16)
+        ]
+    stab.commit(files=sfiles)
+    import datetime as _dt
+
+    want_from = _dt.datetime(1970, 1, 1) + _dt.timedelta(days=n_days - 7)
+    t0 = time.perf_counter()
+    kept, skipped = stab.plan_scan([("ts", ">=", want_from)])
+    plan_ms = (time.perf_counter() - t0) * 1000
+    stats_skip = {
+        "files_total": len(sfiles),
+        "files_kept_last_7_days": len(kept),
+        "files_skipped": skipped,
+        "plan_ms": round(plan_ms, 2),
+    }
+    shutil.rmtree(stab_dir, ignore_errors=True)
+
     total = round(sum(results.values()), 3)
     print(
         json.dumps(
@@ -370,6 +411,7 @@ def main() -> None:
                 "scaling": scaling,
                 "recall": recall,
                 "commit_cost": commit_cost,
+                "stats_skip": stats_skip,
                 "config": {
                     "n_events": N_EVENTS,
                     "master_high": f"local[{CPUS}]",
