@@ -809,6 +809,35 @@ class LakeTable:
         _, entries = self.write_data_files(data)
         return self.commit(entries, schema=schema)
 
+    def read_updated_since(
+        self, since, snapshot: Snapshot | None = None
+    ) -> DataFrame:
+        """Timestamp-incremental consumer read: rows whose last CDC
+        update (``_cdc_updated_at``) is at/after ``since`` — the
+        change-data-feed a downstream pipeline tails when it keys off
+        wall-clock rather than snapshot versions (version-based row diffs
+        are :func:`gear5_spark.lake.diff.table_diff`).
+
+        File-pruned by manifest stats: bucket files untouched since
+        ``since`` are never opened, so steady-state consumers read
+        O(recent churn), not O(table)."""
+        snap = snapshot or self.snapshot()
+        keep, _skipped = self.plan_scan(
+            [(CDC_UPDATED_AT, ">=", since)], snap
+        )
+        df = self._read_files(snap, keep)
+        return df.filter(F.col(CDC_UPDATED_AT) >= F.lit(since))
+
+    def register_view(
+        self, name: str, snapshot: Snapshot | None = None
+    ) -> DataFrame:
+        """Expose the table (or a pinned snapshot) to Spark SQL as a
+        temp view — ``spark.sql(f"SELECT ... FROM {name}")`` then runs
+        with full Catalyst pushdown over the snapshot's file set."""
+        df = self.read(snapshot=snapshot)
+        df.createOrReplaceTempView(name)
+        return df
+
     def lookup(self, **key_values) -> DataFrame:
         """Bucket-pruned point lookup by full key: computes the bucket
         driver-side (pure-Python XXH64 pinned to Spark's xxhash64 — no
