@@ -525,17 +525,20 @@ class LakeTable:
         commit = commit_token or f"c-{uuid.uuid4().hex}"
         rel_dir = os.path.join(DATA_DIR, commit)
         out_dir = os.path.join(self.table_dir, rel_dir)
-        n_buckets = n_buckets or self.snapshot().properties.get(
-            "n_buckets", 16
+        props = self.snapshot().properties
+        n_buckets = n_buckets or props.get("n_buckets", 16)
+        part = df.repartition(
+            n_buckets, self._identity_partition_expr(n_buckets)
         )
+        # opt-in clustering (sort_columns table property): rows sorted
+        # within each bucket file — parquet row-group/page stats on the
+        # sort key then skip inside the file for point lookups and range
+        # reads (Z-order-lite; a local sort, no extra shuffle)
+        sort_cols = [c for c in props.get("sort_columns") or [] if c in df.columns]
+        if sort_cols:
+            part = part.sortWithinPartitions(*sort_cols)
         with span("table.write_parquet"):
-            (
-                df.repartition(
-                    n_buckets, self._identity_partition_expr(n_buckets)
-                )
-                .write.mode("errorifexists")
-                .parquet(out_dir)
-            )
+            part.write.mode("errorifexists").parquet(out_dir)
         with span("table.footer_scan"):
             entries = self._scan_written(out_dir, pq)
         return commit, entries
