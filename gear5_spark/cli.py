@@ -165,6 +165,26 @@ def cmd_read(args) -> int:
         spark, cfg.table_dir, n_buckets=cfg.n_buckets,
         delete_mode=cfg.delete_mode,
     )
+    if getattr(args, "warmup", False):
+        # tiny throwaway replay so JVM/codegen warmup stays out of the
+        # timed run (same honesty rule as bench.py's scaling pairs)
+        import shutil
+        import tempfile
+
+        from gen_fixtures import generate_changelog
+
+        wdir = tempfile.mkdtemp(prefix="gear5-warm-")
+        try:
+            generate_changelog(
+                f"{wdir}/log", n_events=5_000, n_convs=100,
+                chunk_rows=5_000, seed=7,
+            )
+            wt = bootstrap_table(
+                spark, f"{wdir}/table", n_buckets=cfg.n_buckets
+            )
+            replay_batch(spark, f"{wdir}/log", wt, f"{wdir}/ckpt")
+        finally:
+            shutil.rmtree(wdir, ignore_errors=True)
     t0 = time.perf_counter()
     if cfg.mode == "bulk":
         replay_batch(
@@ -286,6 +306,7 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("read")
     p.add_argument("--config", required=True)
     p.add_argument("--timeout", type=float, default=None)
+    p.add_argument("--warmup", action="store_true")
     p = sub.add_parser("state")
     p.add_argument("--table-dir", required=True)
     p = sub.add_parser("compact")

@@ -1,0 +1,128 @@
+"""North-rule scaling evidence through the REAL launch mode.
+
+Runs the identical bulk replay via `spark-submit --py-files engine.zip`
+(separate JVM per run — exactly the rule's `spark-submit` clause) at N
+and 4N cores over the same seeded change log, min-of-2 per level, and
+prints one JSON line with throughputs + scaling efficiency.
+
+Usage: python scripts/scaling_submit.py [n_events]
+Env:   SPARK_GRAFT_SCALE_LOW (default 2), tmpfs work dir as bench.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+WORK = os.environ.get("SPARK_GRAFT_BENCH_WORK", "/dev/shm/gear5-bench")
+SPARK_SUBMIT = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+
+
+def _changelog(n_events: int) -> str:
+    from gen_fixtures import generate_changelog
+
+    d = f"/tmp/gear5-bench-log-{n_events}-42-c64"
+    if not os.path.exists(os.path.join(d, "_manifest.json")):
+        shutil.rmtree(d, ignore_errors=True)
+        generate_changelog(
+            d, n_events=n_events, n_convs=max(200, n_events // 500),
+            chunk_rows=max(10_000, n_events // 64), seed=42,
+        )
+    return d
+
+
+def _run(zip_path: str, log_dir: str, cores: int, tag: str) -> float:
+    work = f"{WORK}/submit-{tag}"
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work, exist_ok=True)
+    cfg = {
+        "changelog_dir": log_dir,
+        "table_dir": f"{work}/table",
+        "checkpoint_dir": f"{work}/ckpt",
+        "mode": "bulk",
+        "n_buckets": 32,
+    }
+    cfg_path = f"{work}/cfg.json"
+    with open(cfg_path, "w") as fh:
+        json.dump(cfg, fh)
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS=str(cores),
+        # shuffle partitions sized to data, not cores (see bench.py)
+        SPARK_GRAFT_SHUFFLE=str(max(cores, 64)),
+        SPARK_GRAFT_DRIVER_MEM="48g",
+    )
+    proc = subprocess.run(
+        [
+            SPARK_SUBMIT,
+            "--master", f"local[{cores}]",
+            # driver memory must ride the submit line — a session conf is
+            # too late once the JVM is up (1g default OOMs the 4M replay)
+            "--driver-memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+            "--py-files", zip_path,
+            "--conf", f"spark.local.dir={WORK}/spark-tmp",
+            os.path.join(ROOT, "run_pipeline.py"),
+            "--config", cfg_path,
+            "--warmup",
+        ],
+        capture_output=True, text=True, timeout=1800, env=env,
+    )
+    if proc.returncode != 0:
+        sys.stderr.write(proc.stderr[-4000:])
+        raise SystemExit(f"spark-submit failed at local[{cores}]")
+    state = [
+        json.loads(line)
+        for line in proc.stdout.splitlines()
+        if line.startswith('{"type": "STATE"')
+    ][-1]
+    assert state["rows"] > 0
+    shutil.rmtree(work, ignore_errors=True)
+    return state["elapsed_sec"]
+
+
+def main() -> None:
+    n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
+    low = int(os.environ.get("SPARK_GRAFT_SCALE_LOW", "2"))
+    high = low * 4
+    from scripts.package import build
+
+    zip_path = build(f"{WORK}/engine.zip")
+    log_dir = _changelog(n_events)
+    t = {}
+    runs = {}
+    for cores in (low, high):
+        runs[cores] = [
+            _run(zip_path, log_dir, cores, f"{cores}a"),
+            _run(zip_path, log_dir, cores, f"{cores}b"),
+        ]
+        t[cores] = min(runs[cores])
+    tp_low, tp_high = n_events / t[low], n_events / t[high]
+    eff = (tp_high / tp_low) / (high / low)
+    print(
+        json.dumps(
+            {
+                "metric": "spark_submit_scaling",
+                "launch": "spark-submit --py-files engine.zip",
+                "n_events": n_events,
+                "cores_low": low,
+                "cores_high": high,
+                "sec_low": t[low],
+                "sec_high": t[high],
+                "runs_low": runs[low],
+                "runs_high": runs[high],
+                "events_per_sec_low": round(tp_low, 1),
+                "events_per_sec_high": round(tp_high, 1),
+                "efficiency": round(eff, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

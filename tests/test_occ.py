@@ -144,3 +144,49 @@ def test_txn_replay_not_retried(spark, table):
         table.commit(
             files=table.snapshot().files, txn_app_id="app", txn_batch_id=7
         )
+
+
+def test_compaction_races_delta_append_on_real_paths(spark, tmp_path):
+    """Integration: MoR compaction losing the publish race to a live
+    delta-append rebases and both land — final state still equals the
+    serial oracle over the full log."""
+    from gen_fixtures import generate_changelog
+    from gear5_spark.lake.mor import compact
+    from gear5_spark.pipeline.runner import bootstrap_table, make_applier
+    from gear5_spark.sources.changelog import read_changelog
+    from tests.oracle import oracle_rows
+
+    log = str(tmp_path / "log")
+    generate_changelog(log, n_events=3000, n_convs=40, chunk_rows=1000)
+    table = bootstrap_table(spark, str(tmp_path / "t"), n_buckets=4)
+    writer = LakeTable(spark, table.table_dir)  # appender's own handle
+    applier = make_applier(
+        writer, str(tmp_path / "ckpt"), sink_mode="mor", compact_every=0
+    )
+    applier(read_changelog(spark, log, max_lsn=1499), 0)
+
+    batch1 = read_changelog(spark, log, min_lsn=1499)
+    state = _race_once(
+        spark, table, lambda _other: applier(batch1, 1)
+    )
+    snap = compact(table)  # loses the race once, rebases, succeeds
+    assert state["raced"] and snap is not None
+    # batch1's delta (appended mid-compaction) must survive as a delta
+    # on top of the compacted base
+    assert any(f.get("kind") == "delta" for f in table.snapshot().files)
+
+    got = [
+        (r["conv_id"], r["turn_idx"], r["text"])
+        for r in table.read()
+        .orderBy("conv_id", "turn_idx")
+        .collect()
+    ]
+    want = [
+        (w["conv_id"], w["turn_idx"], w["text"]) for w in oracle_rows(log)
+    ]
+    assert got == want
+
+    # a second compaction (no race) folds the surviving delta too
+    compact(table)
+    assert not any(f.get("kind") == "delta" for f in table.snapshot().files)
+    assert table.read().count() == len(want)

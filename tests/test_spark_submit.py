@@ -46,6 +46,7 @@ def test_spark_submit_py_files_replay(tmp_path):
         [
             SPARK_SUBMIT,
             "--master", "local[4]",
+            "--driver-memory", "4g",  # session conf is too late under submit
             "--py-files", zip_path,
             os.path.join(ROOT, "run_pipeline.py"),
             "--config", cfg_path,
