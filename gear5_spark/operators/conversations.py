@@ -83,10 +83,15 @@ def conversation_stats(
 ) -> DataFrame:
     """Per-conversation shape metrics — one hash aggregation, all
     JVM built-ins: turn count, distinct roles, total characters,
-    first/last event time and duration in seconds."""
+    first/last event time and duration in seconds.
+
+    ``size(collect_set(role))`` instead of ``countDistinct``: role
+    cardinality is tiny and bounded, and the collect_set form keeps the
+    whole job a single aggregation pass (countDistinct plans an Expand +
+    an extra exchange)."""
     return turns.groupBy(conv_col).agg(
         F.count(F.lit(1)).alias("n_turns"),
-        F.countDistinct(role_col).alias("n_roles"),
+        F.size(F.collect_set(role_col)).cast("long").alias("n_roles"),
         F.sum(F.length(text_col)).alias("total_chars"),
         F.min(ts_col).alias("first_ts"),
         F.max(ts_col).alias("last_ts"),
