@@ -610,6 +610,33 @@ def _q_asof_attribution(spark, sf_dir):
     return asof_join(purchases, clicks, on="user_id")
 
 
+def _q_doc_token_stats(spark, sf_dir):
+    # lexical quality signals: canonical wordcount shape (explode ->
+    # two partial-agg shuffles), linear at corpus scale
+    from gear5_spark.text.stats import doc_token_stats
+
+    return doc_token_stats(
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    )
+
+
+def _q_corpus_top_terms(spark, sf_dir):
+    from gear5_spark.text.stats import corpus_top_terms
+
+    return corpus_top_terms(_t(spark, sf_dir, "documents"), k=20)
+
+
+def _q_pii_scan(spark, sf_dir):
+    # per-row JVM regex, zero shuffle; pattern semantics are unit-tested
+    # on strings with real emails/phones/urls/IPs (test_text_stats) —
+    # this corpus-level entry proves Spark and DuckDB count identically
+    from gear5_spark.text.stats import pii_counts
+
+    return pii_counts(
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    )
+
+
 def _q_media_features(spark, sf_dir):
     # multimodal plumbing: deterministic synthetic media -> Arrow-batched
     # feature extraction (codec stubbed; plumbing real)
@@ -670,6 +697,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversation_stats": _q_conversation_stats,
         "sessionize": _q_sessionize,
         "asof_attribution": _q_asof_attribution,
+        "doc_token_stats": _q_doc_token_stats,
+        "corpus_top_terms": _q_corpus_top_terms,
+        "pii_scan": _q_pii_scan,
     }
 
 
@@ -964,6 +994,47 @@ def oracle_sql() -> dict[str, str]:
             "c.click_event_id, c.ts AS ts_asof "
             "FROM p ASOF LEFT JOIN c "
             "ON p.user_id = c.user_id AND p.ts >= c.ts"
+        ),
+        "doc_token_stats": (
+            "WITH tok AS (SELECT doc_id, "
+            "unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token "
+            "FROM documents WHERE doc_id < 1000), "
+            "tk AS (SELECT doc_id, token, count(*) AS c FROM tok "
+            "WHERE token <> '' GROUP BY 1, 2) "
+            "SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, "
+            "count(*) AS n_distinct, "
+            "round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS repetition_ratio, "
+            "round(count(*) / CAST(sum(c) AS DOUBLE), 6) AS type_token_ratio "
+            "FROM tk GROUP BY doc_id"
+        ),
+        "corpus_top_terms": (
+            "WITH tok AS (SELECT "
+            "unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term "
+            "FROM documents), "
+            "f AS (SELECT term, count(*) AS freq FROM tok "
+            "WHERE term <> '' GROUP BY 1) "
+            "SELECT term, freq, CAST(row_number() OVER "
+            "(ORDER BY freq DESC, term ASC) AS INT) AS rank "
+            "FROM f QUALIFY rank <= 20"
+        ),
+        "pii_scan": (
+            "SELECT doc_id, "
+            "CAST(len(regexp_extract_all(text, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) "
+            "AS emails, "
+            "CAST(len(regexp_extract_all(text, "
+            "'\\+?\\d[\\d\\s().-]{7,}\\d')) AS INT) AS phones, "
+            "CAST(len(regexp_extract_all(text, 'https?://[^\\s]+')) AS INT) "
+            "AS urls, "
+            "CAST(len(regexp_extract_all(text, "
+            "'\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS INT) AS ipv4s, "
+            "(len(regexp_extract_all(text, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) "
+            "+ len(regexp_extract_all(text, '\\+?\\d[\\d\\s().-]{7,}\\d')) "
+            "+ len(regexp_extract_all(text, 'https?://[^\\s]+')) "
+            "+ len(regexp_extract_all(text, "
+            "'\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b'))) > 0 AS has_pii "
+            "FROM documents WHERE doc_id < 500"
         ),
         # minhash_lsh_pairs / simhash_pairs / lsh_cosine_topk: raw LSH
         # candidate sets are hash-family-specific (Spark xxhash64) —

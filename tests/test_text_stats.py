@@ -1,0 +1,53 @@
+"""Token statistics + PII scanning."""
+
+from __future__ import annotations
+
+import pytest
+
+from gear5_spark.text.stats import corpus_top_terms, doc_token_stats, pii_counts
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "a a a b"),            # repetition 3/4, 2 distinct
+        (2, "x y z"),              # uniform
+        (3, "  A  a\tB "),         # case/whitespace normalization
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_doc_token_stats(docs):
+    got = {r["doc_id"]: r for r in doc_token_stats(docs).collect()}
+    assert got[1]["n_tokens"] == 4 and got[1]["n_distinct"] == 2
+    assert got[1]["repetition_ratio"] == 0.75
+    assert got[2]["repetition_ratio"] == pytest.approx(1 / 3, abs=1e-6)
+    assert got[3]["n_tokens"] == 3 and got[3]["n_distinct"] == 2  # a,a,b
+
+
+def test_corpus_top_terms_deterministic_tiebreak(docs):
+    got = corpus_top_terms(docs, k=3).collect()
+    assert [(r["term"], r["freq"], r["rank"]) for r in got] == [
+        ("a", 5, 1),   # 3 from doc1 + 2 from doc3
+        ("b", 2, 2),
+        ("x", 1, 3),   # freq-1 ties broken alphabetically: b(2) then x
+    ]
+
+
+def test_corpus_top_terms_stopwords(docs):
+    got = corpus_top_terms(docs, k=2, stopwords=["a"]).collect()
+    assert got[0]["term"] == "b"
+
+
+def test_pii_counts(spark):
+    rows = [
+        (1, "mail me at jo.doe+x@example.co.uk or visit https://ex.com/a?b=1"),
+        (2, "call +1 (555) 123-4567; server at 10.0.0.1"),
+        (3, "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in pii_counts(df).collect()}
+    assert got[1]["emails"] == 1 and got[1]["urls"] == 1 and got[1]["has_pii"]
+    assert got[2]["phones"] == 1 and got[2]["ipv4s"] == 1 and got[2]["has_pii"]
+    assert not got[3]["has_pii"]
+    assert got[3]["emails"] == got[3]["phones"] == 0
