@@ -17,6 +17,8 @@ as ``python -m gear5_spark <cmd>``:
 - ``vacuum``    delete data unreachable from any snapshot
 - ``expire``    drop old snapshot metadata (bounds the log; lineage
                 archived first, freed data becomes vacuum-eligible)
+- ``delete``    DELETE WHERE <sql expr> — predicate delete (GDPR path;
+                follow with expire + vacuum for full erasure)
 
 All output is one JSON document per command on stdout (the reference's
 message protocol, types/catalog.go:11-20, minus the per-record stream —
@@ -27,6 +29,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -185,6 +188,10 @@ def cmd_read(args) -> int:
             replay_batch(spark, f"{wdir}/log", wt, f"{wdir}/ckpt")
         finally:
             shutil.rmtree(wdir, ignore_errors=True)
+    if os.environ.get("SPARK_GRAFT_PHASES"):
+        from gear5_spark import perf
+
+        perf.reset()  # timed window only — warmup spans excluded
     t0 = time.perf_counter()
     if cfg.mode == "bulk":
         replay_batch(
@@ -208,12 +215,17 @@ def cmd_read(args) -> int:
             applier=applier, timeout_sec=args.timeout,
         )
     elapsed = time.perf_counter() - t0
-    print(json.dumps({
+    state = {
         "type": "STATE",
         "rows": table.read().count(),
         "snapshot_version": table.current_version(),
         "elapsed_sec": round(elapsed, 3),
-    }))
+    }
+    if os.environ.get("SPARK_GRAFT_PHASES"):
+        from gear5_spark import perf
+
+        state["phases"] = perf.timings()
+    print(json.dumps(state))
     return 0
 
 
@@ -281,6 +293,22 @@ def cmd_vacuum(args) -> int:
     return 0
 
 
+def cmd_delete(args) -> int:
+    from gear5_spark.lake.delete import delete_where
+    from gear5_spark.lake.table import LakeTable
+
+    spark = _spark()
+    table = LakeTable(spark, args.table_dir)
+    snap, n = delete_where(table, args.where)
+    print(json.dumps({
+        "type": "LOG",
+        "rows_deleted": n,
+        "snapshot_version": snap.version,
+        "note": "run expire + vacuum to reclaim prior snapshots' copies",
+    }))
+    return 0
+
+
 def cmd_expire(args) -> int:
     from gear5_spark.lake.table import LakeTable
 
@@ -321,6 +349,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--table-dir", required=True)
     p.add_argument("--keep-last", type=int, default=10)
     p.add_argument("--older-than-ms", type=int, default=None)
+    p = sub.add_parser("delete")
+    p.add_argument("--table-dir", required=True)
+    p.add_argument("--where", required=True)
     args = ap.parse_args(argv)
     return {
         "spec": cmd_spec,
@@ -332,6 +363,7 @@ def main(argv: list[str] | None = None) -> int:
         "rebucket": cmd_rebucket,
         "vacuum": cmd_vacuum,
         "expire": cmd_expire,
+        "delete": cmd_delete,
     }[args.cmd](args)
 
 

@@ -983,6 +983,45 @@ class LakeTable:
                 )
         return [s.version for s in expire]
 
+    def rewrite_manifests(self) -> Snapshot:
+        """Compact metadata: commit a snapshot whose manifest list is ONE
+        fresh manifest holding exactly the live file entries. Dead
+        entries (files dropped by deletes/rewrites but still textually
+        present in shared manifest files — including their min/max
+        stats, which can leak deleted key values) stop existing anywhere
+        once ``expire_snapshots`` drops the old snapshots and their
+        manifests. Part of the full-erasure contract
+        (:mod:`gear5_spark.lake.delete`)."""
+        parent = self.snapshot()
+        version = parent.version + 1
+        m_list: list[dict[str, Any]] = []
+        if parent.files:
+            rel = os.path.join(
+                MANIFEST_DIR, f"m-{version:08d}-{uuid.uuid4().hex[:12]}.json"
+            )
+            with open(os.path.join(self.table_dir, rel), "w") as fh:
+                json.dump({"files": parent.files}, fh, separators=(",", ":"))
+            m_list = [
+                {
+                    "path": rel,
+                    "buckets": sorted({f["bucket"] for f in parent.files}),
+                }
+            ]
+        snap = Snapshot(
+            version=version,
+            snapshot_id=uuid.uuid4().hex,
+            parent_version=parent.version,
+            schema=parent.schema,
+            properties=parent.properties,
+            files=parent.files,
+            txn=parent.txn,
+            lineage=[],
+            committed_at_ms=int(time.time() * 1000),
+            manifest_list=m_list,
+        )
+        self._publish(snap)
+        return snap
+
     def _archived_lineage(self) -> list[dict[str, Any]]:
         arch = os.path.join(self.table_dir, MANIFEST_DIR, self._LINEAGE_ARCHIVE)
         if not os.path.exists(arch):
@@ -1032,21 +1071,44 @@ class LakeTable:
     def vacuum(self, retention_sec: float = 3600.0) -> list[str]:
         """Delete data directories unreachable from any snapshot (orphans).
 
-        Only directories older than ``retention_sec`` (mtime-based,
-        default 1h — the Delta/Iceberg convention) are removed: the
-        window between ``write_data_files`` and ``commit`` always holds a
+        Only paths older than ``retention_sec`` (mtime-based, default 1h
+        — the Delta/Iceberg convention) are removed: the window between
+        ``write_data_files`` and ``commit`` always holds a
         not-yet-referenced directory, and a concurrent writer's imminent
-        commit must not lose its files to a maintenance vacuum."""
-        live: set[str] = set()
+        commit must not lose its files to a maintenance vacuum.
+
+        Two granularities: whole commit directories no retained snapshot
+        references, AND individual orphan files inside still-live
+        directories (a bucket rewrite orphans the old bucket's file
+        while its commit-siblings stay referenced — after
+        ``expire_snapshots`` those per-file orphans are the last
+        physical copies of deleted rows, so GDPR erasure needs them
+        gone)."""
+        live_dirs: set[str] = set()
+        live_paths: set[str] = set()
         for s in self.history():
             for f in s.files:
-                live.add(f["path"].split(os.sep)[1])  # data/<commit>/...
+                live_dirs.add(f["path"].split(os.sep)[1])  # data/<commit>/
+                live_paths.add(f["path"])
         removed = []
         cutoff = time.time() - retention_sec
         data_root = os.path.join(self.table_dir, DATA_DIR)
         for d in os.listdir(data_root):
             full = os.path.join(data_root, d)
-            if d not in live and os.path.getmtime(full) < cutoff:
-                shutil.rmtree(full)
-                removed.append(d)
+            if d not in live_dirs:
+                if os.path.getmtime(full) < cutoff:
+                    shutil.rmtree(full)
+                    removed.append(d)
+                continue
+            for root, _dirs, names in os.walk(full):
+                for name in names:
+                    fp = os.path.join(root, name)
+                    rel = os.path.relpath(fp, self.table_dir)
+                    if (
+                        name.endswith(".parquet")
+                        and rel not in live_paths
+                        and os.path.getmtime(fp) < cutoff
+                    ):
+                        os.unlink(fp)
+                        removed.append(rel)
         return removed
