@@ -5,8 +5,9 @@ change log into the lake table, returning the final state.
 
 ``queries()`` / ``oracle_sql()`` — one entry per operator from SURVEY.md §2
 plus the training-data-pipeline operators (dedup / similarity / text
-analysis / profiling). 34 of 37 queries carry a DuckDB oracle — including
-the full CDC replay, snapshot diff, payload type inference and the
+analysis / profiling / conversation analytics). 42 of 45 queries carry a
+DuckDB oracle — including the full CDC replay, the incrementally-
+maintained rollup table, snapshot diff, payload type inference and the
 LSH-candidates-plus-exact-confirm dedup paths (oracle equality there
 proves LSH recall 1.0). The 3 rows-only entries are raw hash-family-
 specific candidate sets (Spark xxhash64 is not reproducible in SQL);
@@ -610,6 +611,40 @@ def _q_asof_attribution(spark, sf_dir):
     return asof_join(purchases, clicks, on="user_id")
 
 
+def _q_rollup_replay(spark, sf_dir):
+    # incremental view maintenance end-to-end: the events-derived feed
+    # replays through the FULL pipeline in two micro-batches with a
+    # materialized per-conversation rollup attached; the returned rollup
+    # TABLE state must equal DuckDB's from-scratch stats fold
+    import shutil
+    import tempfile
+
+    from gear5_spark.pipeline.rollup import ConversationRollup, bootstrap_rollup
+    from gear5_spark.pipeline.runner import bootstrap_table, make_applier
+
+    changes = _derived_changes(spark, sf_dir)
+    cut = changes.agg(F.max("lsn")).first()[0] // 2
+    work = tempfile.mkdtemp(prefix="gear5-oroll-")
+    try:
+        base = bootstrap_table(spark, os.path.join(work, "t"), n_buckets=8)
+        rollup = ConversationRollup(
+            base, bootstrap_rollup(spark, os.path.join(work, "r"), n_buckets=8)
+        )
+        applier = make_applier(
+            base, os.path.join(work, "c"), app_id="oracle-rollup",
+            order_guard=False, rollup=rollup,
+        )
+        applier(changes.filter(F.col("lsn") <= cut), 0)
+        applier(changes.filter(F.col("lsn") > cut), 1)
+        df = rollup.read().select(
+            "conv_id", "n_turns", "n_roles", "total_chars",
+            "first_ts", "last_ts", "duration_s",
+        )
+        return spark.createDataFrame(df.collect(), df.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def _q_doc_token_stats(spark, sf_dir):
     # lexical quality signals: canonical wordcount shape (explode ->
     # two partial-agg shuffles), linear at corpus scale
@@ -697,6 +732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversation_stats": _q_conversation_stats,
         "sessionize": _q_sessionize,
         "asof_attribution": _q_asof_attribution,
+        "rollup_replay": _q_rollup_replay,
         "doc_token_stats": _q_doc_token_stats,
         "corpus_top_terms": _q_corpus_top_terms,
         "pii_scan": _q_pii_scan,
@@ -994,6 +1030,20 @@ def oracle_sql() -> dict[str, str]:
             "c.click_event_id, c.ts AS ts_asof "
             "FROM p ASOF LEFT JOIN c "
             "ON p.user_id = c.user_id AND p.ts >= c.ts"
+        ),
+        "rollup_replay": (
+            f"WITH {_DERIVED_CHANGES_SQL}, "
+            "w AS (SELECT *, row_number() OVER (PARTITION BY conv_id, "
+            "turn_idx ORDER BY lsn DESC, txn_seq DESC) AS rn FROM ch), "
+            "t AS (SELECT conv_id, turn_idx, role, text, "
+            "make_timestamp(ts_s * 1000000) AS ts FROM w "
+            "WHERE rn = 1 AND op <> 'delete') "
+            "SELECT conv_id, count(*) AS n_turns, "
+            "count(DISTINCT role) AS n_roles, "
+            "CAST(sum(length(text)) AS BIGINT) AS total_chars, "
+            "min(ts) AS first_ts, max(ts) AS last_ts, "
+            "CAST(epoch(max(ts)) - epoch(min(ts)) AS BIGINT) AS duration_s "
+            "FROM t GROUP BY conv_id"
         ),
         "doc_token_stats": (
             "WITH tok AS (SELECT doc_id, "

@@ -24,6 +24,7 @@ from __future__ import annotations
 import json
 import os
 from dataclasses import dataclass, field
+from typing import Any
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -85,6 +86,10 @@ class TranscriptsApplier:
     compact_every: int = 8
     quarantine_dir: str | None = None  # dead-letter sink for unkeyable events
     exclude_columns: list[str] = field(default_factory=list)  # P2
+    # optional incrementally-maintained derived table
+    # (gear5_spark.pipeline.rollup.ConversationRollup); refreshed with
+    # the batch's touched conversations after every base commit
+    rollup: Any = None
     applied: list[MergeStats] = field(default_factory=list)
     skipped_batches: list[int] = field(default_factory=list)
 
@@ -305,6 +310,8 @@ class TranscriptsApplier:
                 # state, safe to redo after a crash)
                 if self.compact_every and (batch_id + 1) % self.compact_every == 0:
                     compact(self.table)
+                if self.rollup is not None:
+                    self.rollup.refresh(deduped_raw, int(batch_id))
                 return snap
             with span("apply.merge"):
                 snap, mstats = merge_into(
@@ -319,6 +326,8 @@ class TranscriptsApplier:
                     affected_buckets=affected,
                 )
             self.applied.append(mstats)
+            if self.rollup is not None:
+                self.rollup.refresh(deduped_raw, int(batch_id))
             return snap
         finally:
             deduped_raw.unpersist()

@@ -1,0 +1,139 @@
+"""Incrementally-maintained materialized rollups (derived tables).
+
+The reference delivers per-turn rows and stops; any aggregate view is
+the consumer's problem, recomputed from scratch. This module keeps a
+derived lake table — per-conversation statistics — IN SYNC with the base
+transcripts table, maintained per micro-batch:
+
+1. the batch's distinct ``conv_id`` set (already computed once by the
+   applier's dedup pass) names every conversation whose aggregate may
+   have changed — nothing else can change, so work per batch is
+   O(touched conversations), never O(table);
+2. those conversations' stats are recomputed exactly from the
+   POST-merge base table (filter-pushdown scan; with ``sort_columns``
+   clustering the row-group stats skip most files) — recompute-affected
+   is idempotent and self-healing, where pure delta arithmetic on
+   counters would drift on replays;
+3. the result upserts into the rollup table through the SAME
+   ``merge_into`` + txn-ledger machinery as the base table, with the
+   batch id as the ordering LSN — a replayed batch is a no-op commit,
+   giving the rollup the base table's exactly-once contract;
+4. conversations whose every turn vanished (hard deletes) emit delete
+   ops, so the rollup never carries ghost rows.
+
+Crash between base commit and rollup commit: the restart replays the
+batch; the base apply dedupes to a no-op, the rollup recompute runs
+against the (already-correct) base state and converges. The rollup is
+therefore eventually exactly the full recompute at every committed
+batch boundary — which is what the equivalence test asserts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from gear5_spark.lake.merge import merge_into
+from gear5_spark.lake.table import LakeTable
+
+ROLLUP_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("n_turns", T.LongType(), True),
+        T.StructField("n_roles", T.LongType(), True),
+        T.StructField("total_chars", T.LongType(), True),
+        T.StructField("first_ts", T.TimestampType(), True),
+        T.StructField("last_ts", T.TimestampType(), True),
+        T.StructField("duration_s", T.LongType(), True),
+        T.StructField("_cdc_lsn", T.StringType(), True),
+        T.StructField("_cdc_updated_at", T.TimestampType(), True),
+        T.StructField("_cdc_deleted_at", T.TimestampType(), True),
+    ]
+)
+
+
+def bootstrap_rollup(
+    spark, table_dir: str, n_buckets: int = 16
+) -> LakeTable:
+    return LakeTable.create(
+        spark,
+        table_dir,
+        schema=ROLLUP_SCHEMA,
+        key_columns=["conv_id"],
+        n_buckets=n_buckets,
+        if_not_exists=True,
+    )
+
+
+class ConversationRollup:
+    """Per-micro-batch maintainer: call after the base apply with the
+    batch's touched conv_ids."""
+
+    def __init__(
+        self,
+        base_table: LakeTable,
+        rollup_table: LakeTable,
+        app_id: str = "transcripts-rollup",
+    ):
+        self.base = base_table
+        self.rollup = rollup_table
+        self.app_id = app_id
+
+    def refresh(
+        self, touched_conv_ids: list[str] | DataFrame, batch_id: int
+    ) -> None:
+        """``touched_conv_ids`` may be a list or a DataFrame with a
+        ``conv_id`` column (the applier passes the persisted dedup
+        output — touched-set extraction costs a memory scan, never a
+        driver-side collect, so a bulk batch touching millions of
+        conversations still never materializes ids on the driver)."""
+        prev = self.rollup.last_committed_batch(self.app_id)
+        if prev is not None and batch_id <= prev:
+            return  # replayed batch: rollup already reflects it
+        from gear5_spark.operators.conversations import conversation_stats
+
+        spark = self.base.spark
+        if isinstance(touched_conv_ids, DataFrame):
+            touched = touched_conv_ids.select("conv_id").distinct()
+        else:
+            if not touched_conv_ids:
+                return
+            touched = spark.createDataFrame(
+                [(c,) for c in touched_conv_ids], "conv_id string"
+            )
+        turns = self.base.read().join(touched, "conv_id", "inner")
+        stats = conversation_stats(turns)
+        # conversations with zero surviving turns -> delete from rollup
+        gone = touched.join(
+            stats.select("conv_id"), "conv_id", "left_anti"
+        )
+        batch = (
+            stats.withColumn("op", F.lit("update"))
+            .unionByName(
+                gone.withColumn("op", F.lit("delete")),
+                allowMissingColumns=True,
+            )
+            .withColumn("_cdc_lsn", F.lit(str(batch_id)))
+            .withColumn("_cdc_updated_at", F.current_timestamp())
+            .withColumn(
+                "_cdc_deleted_at", F.lit(None).cast("timestamp")
+            )
+        )
+        merge_into(
+            self.rollup,
+            batch,
+            txn_app_id=self.app_id,
+            txn_batch_id=batch_id,
+            lineage={
+                "batch_id": batch_id,
+                "event_count": (
+                    len(touched_conv_ids)
+                    if isinstance(touched_conv_ids, list)
+                    else None
+                ),
+            },
+        )
+
+    def read(self) -> DataFrame:
+        return self.rollup.read()
