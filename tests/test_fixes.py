@@ -195,6 +195,11 @@ def test_vacuum_respects_retention(spark, tmp_path):
     applier = make_applier(table, str(tmp_path / "c"))
     applier(read_changelog(spark, log), 0)
     orphan = table.read().withColumn("_bucket", F.lit(0))
-    table.write_data_files(orphan)  # uncommitted -> orphan
+    commit, _ = table.write_data_files(orphan)  # uncommitted -> orphan
     assert table.vacuum() == []  # young orphan protected (1h retention)
-    assert len(table.vacuum(retention_sec=0)) == 1
+    removed = table.vacuum(retention_sec=0)
+    assert commit in removed  # the uncommitted dir is collected
+    # anything else removed must be a per-file orphan (e.g. a zero-row
+    # bucket file the manifest never referenced), never a live file
+    assert all(r == commit or r.endswith(".parquet") for r in removed)
+    assert table.read().count() == 1
