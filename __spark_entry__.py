@@ -548,8 +548,15 @@ def _winner_turns(spark, sf_dir):
     input for the conversation-level queries, recomputable in SQL."""
     from gear5_spark.operators.dedup import latest_per_key
 
+    # match _DERIVED_CHANGES_SQL's null-key filter (user_id / props.k
+    # NULL): the pipeline quarantines such rows; this derived path must
+    # drop them the same way or a regenerated fixture with nulls would
+    # add a spurious (NULL, NULL) conversation
     win = latest_per_key(
-        _derived_changes(spark, sf_dir), ["conv_id", "turn_idx"],
+        _derived_changes(spark, sf_dir).filter(
+            F.col("conv_id").isNotNull() & F.col("turn_idx").isNotNull()
+        ),
+        ["conv_id", "turn_idx"],
         ("lsn", "txn_seq"),
     )
     payload = F.from_json(

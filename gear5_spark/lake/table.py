@@ -525,7 +525,8 @@ class LakeTable:
         commit = commit_token or f"c-{uuid.uuid4().hex}"
         rel_dir = os.path.join(DATA_DIR, commit)
         out_dir = os.path.join(self.table_dir, rel_dir)
-        props = self.snapshot().properties
+        snap = self.snapshot()
+        props = snap.properties
         n_buckets = n_buckets or props.get("n_buckets", 16)
         part = df.repartition(
             n_buckets, self._identity_partition_expr(n_buckets)
@@ -540,14 +541,13 @@ class LakeTable:
         with span("table.write_parquet"):
             part.write.mode("errorifexists").parquet(out_dir)
         with span("table.footer_scan"):
-            entries = self._scan_written(out_dir, pq)
+            entries = self._scan_written(out_dir, pq, snap)
         return commit, entries
 
-    def _stats_columns(self, meta) -> dict[str, int]:
+    def _stats_columns(self, meta, snap: Snapshot) -> dict[str, int]:
         """Footer column indexes to collect min/max stats for: the table's
         ``stats_columns`` property, or (default) bucket columns plus any
         timestamp columns — the axes incremental/recency reads filter on."""
-        snap = self.snapshot()
         want = snap.properties.get("stats_columns")
         if want is None:
             want = list(
@@ -564,7 +564,10 @@ class LakeTable:
         }
         return {c: names[c] for c in want if c in names}
 
-    def _scan_written(self, out_dir: str, pq) -> list[dict[str, Any]]:
+    def _scan_written(
+        self, out_dir: str, pq, snap: Snapshot | None = None
+    ) -> list[dict[str, Any]]:
+        snap = snap or self.snapshot()
         entries: list[dict[str, Any]] = []
         bucket_idx = None
         stat_idx: dict[str, int] | None = None
@@ -581,7 +584,7 @@ class LakeTable:
                         meta.schema.column(i).name: i
                         for i in range(meta.num_columns)
                     }[BUCKET_COL]
-                    stat_idx = self._stats_columns(meta)
+                    stat_idx = self._stats_columns(meta, snap)
                 bmin = bmax = None
                 for rg in range(meta.num_row_groups):
                     st = meta.row_group(rg).column(bucket_idx).statistics
@@ -991,36 +994,54 @@ class LakeTable:
         stats, which can leak deleted key values) stop existing anywhere
         once ``expire_snapshots`` drops the old snapshots and their
         manifests. Part of the full-erasure contract
-        (:mod:`gear5_spark.lake.delete`)."""
-        parent = self.snapshot()
-        version = parent.version + 1
-        m_list: list[dict[str, Any]] = []
-        if parent.files:
-            rel = os.path.join(
-                MANIFEST_DIR, f"m-{version:08d}-{uuid.uuid4().hex[:12]}.json"
+        (:mod:`gear5_spark.lake.delete`).
+
+        Pure metadata compaction removes no data files, so a lost
+        publish race always rebases: re-snapshot the (new) current state
+        and retry, cleaning up the failed attempt's manifest file."""
+        for _attempt in range(self.COMMIT_RETRIES + 1):
+            parent = self.snapshot()
+            version = parent.version + 1
+            m_list: list[dict[str, Any]] = []
+            rel: str | None = None
+            if parent.files:
+                rel = os.path.join(
+                    MANIFEST_DIR,
+                    f"m-{version:08d}-{uuid.uuid4().hex[:12]}.json",
+                )
+                with open(os.path.join(self.table_dir, rel), "w") as fh:
+                    json.dump(
+                        {"files": parent.files}, fh, separators=(",", ":")
+                    )
+                m_list = [
+                    {
+                        "path": rel,
+                        "buckets": sorted(
+                            {f["bucket"] for f in parent.files}
+                        ),
+                    }
+                ]
+            snap = Snapshot(
+                version=version,
+                snapshot_id=uuid.uuid4().hex,
+                parent_version=parent.version,
+                schema=parent.schema,
+                properties=parent.properties,
+                files=parent.files,
+                txn=parent.txn,
+                lineage=[],
+                committed_at_ms=int(time.time() * 1000),
+                manifest_list=m_list,
             )
-            with open(os.path.join(self.table_dir, rel), "w") as fh:
-                json.dump({"files": parent.files}, fh, separators=(",", ":"))
-            m_list = [
-                {
-                    "path": rel,
-                    "buckets": sorted({f["bucket"] for f in parent.files}),
-                }
-            ]
-        snap = Snapshot(
-            version=version,
-            snapshot_id=uuid.uuid4().hex,
-            parent_version=parent.version,
-            schema=parent.schema,
-            properties=parent.properties,
-            files=parent.files,
-            txn=parent.txn,
-            lineage=[],
-            committed_at_ms=int(time.time() * 1000),
-            manifest_list=m_list,
-        )
-        self._publish(snap)
-        return snap
+            try:
+                self._publish(snap)
+                return snap
+            except CommitRaceLost:
+                if rel is not None:
+                    os.unlink(os.path.join(self.table_dir, rel))
+                if _attempt == self.COMMIT_RETRIES:
+                    raise
+        raise AssertionError("unreachable")  # pragma: no cover
 
     def _archived_lineage(self) -> list[dict[str, Any]]:
         arch = os.path.join(self.table_dir, MANIFEST_DIR, self._LINEAGE_ARCHIVE)

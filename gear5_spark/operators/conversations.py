@@ -176,7 +176,11 @@ def asof_join(
         F.col(right_ts).alias("__rts"),
         *[F.col(c) for c in right_cols],
     )
-    r = right.select(
+    # a NULL right_ts can never satisfy right_ts <= left_ts (ASOF
+    # semantics, and the SQL oracle's) — but NULLs sort FIRST in the
+    # ascending window order, where last(ignorenulls) would carry them
+    # into every left row; drop them before the union
+    r = right.filter(F.col(right_ts).isNotNull()).select(
         F.col(on),
         F.col(right_ts).cast("timestamp").alias("__ts"),
         F.lit(right_tag).alias("__tag"),

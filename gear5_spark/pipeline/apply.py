@@ -213,6 +213,19 @@ class TranscriptsApplier:
         last = self.table.last_committed_batch(self.app_id)
         if last is not None and batch_id <= last:
             self.skipped_batches.append(batch_id)
+            if self.rollup is not None:
+                # crash window: base committed, rollup didn't. The
+                # rollup's own txn ledger makes this a no-op when it DID
+                # commit; when it didn't, the replayed batch's key set
+                # (raw, pre-dedup — a superset is fine, recompute is
+                # idempotent) catches it up. Without this, the base
+                # early-return would leave the rollup stale forever.
+                self.rollup.refresh(
+                    batch.filter(
+                        F.col("conv_id").isNotNull()
+                    ),
+                    int(batch_id),
+                )
             return None  # replayed batch already committed — exactly-once
         # Stats ride the dedup scan as an Observation side-effect — ONE
         # pass over the raw batch computes lsn range, count, txn-set hash,

@@ -7,8 +7,13 @@ transcripts table, maintained per micro-batch:
 
 1. the batch's distinct ``conv_id`` set (already computed once by the
    applier's dedup pass) names every conversation whose aggregate may
-   have changed — nothing else can change, so work per batch is
-   O(touched conversations), never O(table);
+   have changed — nothing else can change, so shuffle/aggregate work
+   per batch is O(touched conversations). Scan volume depends on the
+   base layout: with ``bucket_columns=["conv_id"]`` the refresh opens
+   only the touched buckets (see ``_pruned_base``); under default
+   full-key bucketing it is a predicate-pushdown scan whose row groups
+   skip on conv_id stats — the deliberate tradeoff vs hot-key
+   spreading;
 2. those conversations' stats are recomputed exactly from the
    POST-merge base table (filter-pushdown scan; with ``sort_columns``
    clustering the row-group stats skip most files) — recompute-affected
@@ -94,15 +99,22 @@ class ConversationRollup:
         from gear5_spark.operators.conversations import conversation_stats
 
         spark = self.base.spark
+        from gear5_spark.lake.merge import active
+
         if isinstance(touched_conv_ids, DataFrame):
             touched = touched_conv_ids.select("conv_id").distinct()
+            base = self.base.read()
         else:
             if not touched_conv_ids:
                 return
             touched = spark.createDataFrame(
                 [(c,) for c in touched_conv_ids], "conv_id string"
             )
-        turns = self.base.read().join(touched, "conv_id", "inner")
+            base = self._pruned_base(touched_conv_ids)
+        # soft-delete tables keep tombstones in read() — a tombstoned
+        # turn is not a live turn, and a fully-tombstoned conversation
+        # must register as gone
+        turns = active(base).join(touched, "conv_id", "inner")
         stats = conversation_stats(turns)
         # conversations with zero surviving turns -> delete from rollup
         gone = touched.join(
@@ -134,6 +146,27 @@ class ConversationRollup:
                 ),
             },
         )
+
+    def _pruned_base(self, conv_ids: list[str]) -> DataFrame:
+        """Bucket-pruned base read when the base table is bucketed by
+        ``conv_id`` ALONE (a deliberate layout choice for rollup-heavy
+        deployments): every turn of a touched conversation then lives in
+        a computable bucket, so the refresh opens only those buckets.
+        Under the default full-key bucketing — which spreads hot
+        conversations across all buckets instead — a conversation's
+        turns can live anywhere, so the read falls back to a full scan
+        with predicate pushdown (conv_id row-group stats skip inside
+        files, especially with ``sort_columns`` clustering); per-batch
+        SHUFFLE work is O(touched) either way."""
+        snap = self.base.snapshot()
+        cols = snap.properties.get("bucket_columns") or []
+        if cols == ["conv_id"]:
+            from gear5_spark.lake.xxh64 import bucket_of
+
+            n = snap.properties["n_buckets"]
+            buckets = sorted({bucket_of([str(c)], n) for c in conv_ids})
+            return self.base.read(snapshot=snap, buckets=buckets)
+        return self.base.read(snapshot=snap)
 
     def read(self) -> DataFrame:
         return self.rollup.read()

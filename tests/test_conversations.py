@@ -131,3 +131,17 @@ def test_asof_join_single_shuffle(asof_sides):
     plan = asof_join(purchases, clicks, on="user_id")._jdf.queryExecution().executedPlan().toString()
     # union-window formulation: no join operator at all, no range explosion
     assert "Join" not in plan
+
+
+def test_asof_join_ignores_null_right_timestamps(spark, asof_sides):
+    clicks, purchases = asof_sides
+    dirty = clicks.unionByName(
+        spark.createDataFrame(
+            [(2, None, "ad-ghost")], "user_id long, ts timestamp, campaign string"
+        )
+    )
+    out = {r["amount"]: r for r in asof_join(purchases, dirty, on="user_id").collect()}
+    # user 2's purchase predates every real click; the NULL-ts click must
+    # NOT be carried into it (NULLs sort first in the window order)
+    assert out[1.00]["campaign"] is None
+    assert out[9.99]["campaign"] == "ad-a"  # real matches unaffected

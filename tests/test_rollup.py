@@ -74,3 +74,48 @@ def test_rollup_drops_fully_deleted_conversations(spark, pipeline):
     assert base.read().filter(F.col("conv_id") == victim).count() == 0
     assert rollup.read().filter(F.col("conv_id") == victim).count() == 0
     assert _rows(rollup.read()) == _rows(_full_recompute(base))
+
+
+def test_rollup_catches_up_after_crash_between_commits(spark, tmp_path):
+    """Crash window: base committed batch 0 but the rollup never saw it.
+    The checkpoint replay skips the base apply (txn ledger) — the rollup
+    must still be refreshed from the replayed batch's key set."""
+    log = str(tmp_path / "log")
+    generate_changelog(log, n_events=2000, n_convs=30, chunk_rows=1000)
+    base = bootstrap_table(spark, str(tmp_path / "t"), n_buckets=4)
+    # batch 0 applied with NO rollup attached = the crash-window state
+    applier0 = make_applier(base, str(tmp_path / "ckpt"))
+    applier0(read_changelog(spark, log), 0)
+
+    rollup = ConversationRollup(
+        base, bootstrap_rollup(spark, str(tmp_path / "r"), n_buckets=4)
+    )
+    applier1 = make_applier(base, str(tmp_path / "ckpt"), rollup=rollup)
+    applier1(read_changelog(spark, log), 0)  # replay: base skips
+    assert applier1.skipped_batches == [0]
+    assert _rows(rollup.read()) == _rows(_full_recompute(base))
+
+
+def test_rollup_respects_soft_delete_tombstones(spark, tmp_path):
+    log = str(tmp_path / "log")
+    generate_changelog(log, n_events=2000, n_convs=30, chunk_rows=1000)
+    base = bootstrap_table(
+        spark, str(tmp_path / "t"), n_buckets=4, delete_mode="soft"
+    )
+    rollup = ConversationRollup(
+        base, bootstrap_rollup(spark, str(tmp_path / "r"), n_buckets=4)
+    )
+    applier = make_applier(
+        base, str(tmp_path / "ckpt"), delete_mode="soft", rollup=rollup
+    )
+    applier(read_changelog(spark, log), 0)
+    from gear5_spark.lake.merge import active
+
+    # tombstoned turns must not count: rollup == stats over ACTIVE rows
+    want = sorted(
+        tuple(r[c] for c in COLS)
+        for r in conversation_stats(active(base.read())).select(COLS).collect()
+    )
+    assert _rows(rollup.read()) == want
+    # and the base genuinely holds tombstones (soft mode worked)
+    assert base.read().filter(F.col("_cdc_deleted_at").isNotNull()).count() > 0
