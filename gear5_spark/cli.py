@@ -168,6 +168,16 @@ def cmd_read(args) -> int:
         spark, cfg.table_dir, n_buckets=cfg.n_buckets,
         delete_mode=cfg.delete_mode,
     )
+    rollup = None
+    if cfg.rollup_dir:
+        from gear5_spark.pipeline.rollup import (
+            ConversationRollup,
+            bootstrap_rollup,
+        )
+
+        rollup = ConversationRollup(
+            table, bootstrap_rollup(spark, cfg.rollup_dir, cfg.n_buckets)
+        )
     if getattr(args, "warmup", False):
         # tiny throwaway replay so JVM/codegen warmup stays out of the
         # timed run (same honesty rule as bench.py's scaling pairs)
@@ -199,6 +209,7 @@ def cmd_read(args) -> int:
             app_id=cfg.app_id, salt_buckets=cfg.salt_buckets,
             normalize_mode=cfg.normalize_mode,
             exclude_columns=cfg.exclude_columns,
+            rollup=rollup,
         )
     else:
         applier = make_applier(
@@ -207,6 +218,7 @@ def cmd_read(args) -> int:
             salt_buckets=cfg.salt_buckets, sink_mode=cfg.sink_mode,
             compact_every=cfg.compact_every, quarantine_dir=cfg.quarantine_dir,
             exclude_columns=cfg.exclude_columns,
+            rollup=rollup,
         )
         run_stream(
             spark, cfg.changelog_dir, table, cfg.checkpoint_dir,

@@ -31,6 +31,9 @@ class PipelineConfig:
     compact_every: int = 8
     max_files_per_trigger: int = 4
     quarantine_dir: str | None = None
+    # materialized per-conversation rollup table, incrementally
+    # maintained alongside the base (pipeline/rollup.py); None = off
+    rollup_dir: str | None = None
     app_id: str = "transcripts-cdc"
     exclude_columns: list[str] = field(default_factory=list)
 

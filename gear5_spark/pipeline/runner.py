@@ -125,6 +125,7 @@ def replay_batch(
     normalize_mode: str = "sql",
     order_guard: bool = False,
     exclude_columns: list[str] | None = None,
+    rollup=None,
 ) -> LakeTable:
     """Bulk replay: whole (or cursor-bounded) change log in one merge.
 
@@ -139,6 +140,7 @@ def replay_batch(
         normalize_mode=normalize_mode,
         order_guard=order_guard,
         exclude_columns=exclude_columns or [],
+        rollup=rollup,
     )
     changes = read_changelog(spark, changelog_dir, min_lsn=min_lsn, max_lsn=max_lsn)
     last = table.last_committed_batch(app_id)

@@ -119,3 +119,39 @@ def test_rollup_respects_soft_delete_tombstones(spark, tmp_path):
     assert _rows(rollup.read()) == want
     # and the base genuinely holds tombstones (soft mode worked)
     assert base.read().filter(F.col("_cdc_deleted_at").isNotNull()).count() > 0
+
+
+def test_rollup_via_cli_config(spark, tmp_path, capsys):
+    """rollup_dir in the pipeline config maintains the derived table
+    through the CLI read path (stream mode, real foreachBatch)."""
+    import json
+
+    from gear5_spark.cli import main
+    from gear5_spark.lake.table import LakeTable
+
+    log = str(tmp_path / "log")
+    generate_changelog(log, n_events=2000, n_convs=30, chunk_rows=500)
+    cfg = {
+        "changelog_dir": log,
+        "table_dir": str(tmp_path / "t"),
+        "checkpoint_dir": str(tmp_path / "ckpt"),
+        "rollup_dir": str(tmp_path / "r"),
+        "mode": "stream",
+        "n_buckets": 4,
+        "max_files_per_trigger": 2,
+    }
+    cfg_path = str(tmp_path / "cfg.json")
+    json.dump(cfg, open(cfg_path, "w"))
+    rc = main(["read", "--config", cfg_path, "--timeout", "600"])
+    assert rc == 0
+    capsys.readouterr()
+    base = LakeTable(spark, cfg["table_dir"])
+    got = sorted(
+        tuple(r[c] for c in COLS)
+        for r in LakeTable(spark, cfg["rollup_dir"]).read().select(COLS).collect()
+    )
+    want = sorted(
+        tuple(r[c] for c in COLS)
+        for r in conversation_stats(base.read()).select(COLS).collect()
+    )
+    assert got == want and got
