@@ -92,3 +92,105 @@ def conversation_progress(changes: DataFrame, watermark: str = "10 minutes") -> 
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+SESSION_OUTPUT = (
+    "conv_id string, session_seq int, session_start timestamp, "
+    "session_end timestamp, n_events long, closed boolean"
+)
+SESSION_STATE = "session_seq int, start_us long, last_us long, n_events long"
+
+
+def streaming_sessionize(
+    changes: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming gap-sessionization: the live counterpart of
+    ``operators.conversations.gap_sessionize``.
+
+    Per conversation, consecutive events closer than ``gap`` share a
+    session; a longer silence closes it. Sessions close two ways:
+    in-stream (the closing event arrives) or by EVENT-TIME TIMEOUT (the
+    watermark passes ``last event + gap`` — the conversation went
+    quiet), so every session is eventually emitted with
+    ``closed=True`` exactly once. Update-mode output also re-emits the
+    open session's running row each micro-batch.
+
+    State per key is one 4-tuple regardless of event volume, and idle
+    keys are evicted on close — bounded state on unbounded keyspaces.
+    Ordering: within a micro-batch events are sorted by event time;
+    across batches arrival order is commit order. A cross-batch late
+    event (event time before the session's last) folds into the current
+    session rather than retroactively splitting — the standard
+    bounded-disorder tradeoff, with the watermark bounding how late
+    data may be.
+    """
+    import re
+
+    m = re.fullmatch(r"(\d+)\s*(second|minute|hour)s?", gap.strip())
+    if not m:
+        raise ValueError(f"gap must be like '30 minutes', got {gap!r}")
+    gap_us = int(m.group(1)) * {
+        "second": 1_000_000,
+        "minute": 60_000_000,
+        "hour": 3_600_000_000,
+    }[m.group(2)]
+
+    def fold(key, pdfs, state: GroupState):
+        (conv_id,) = key
+
+        def row(seq, start, last, n, closed):
+            return {
+                "conv_id": conv_id,
+                "session_seq": seq,
+                "session_start": pd.Timestamp(start, unit="us"),
+                "session_end": pd.Timestamp(last, unit="us"),
+                "n_events": n,
+                "closed": closed,
+            }
+
+        if state.hasTimedOut:
+            seq, start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame([row(seq, start, last, n, True)])
+            return
+        seq, start, last, n = (
+            state.get if state.exists else (0, None, None, 0)
+        )
+        ts_all = []
+        for pdf in pdfs:
+            # normalize to epoch MICROS regardless of the pandas
+            # datetime64 resolution (ns vs us varies by Arrow path)
+            us = pdf["event_time"].values.astype("datetime64[us]").astype(
+                "int64"
+            )
+            ts_all.extend(int(v) for v in us)
+        out = []
+        for ts in sorted(ts_all):
+            if last is not None and ts - last > gap_us:
+                out.append(row(seq, start, last, n, True))
+                seq, start, n = seq + 1, ts, 0
+            if start is None:
+                start = ts
+            last = max(last, ts) if last is not None else ts
+            n += 1
+        state.update((seq, start, last, n))
+        # close by event-time timeout once the watermark passes the gap
+        wm_ms = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(
+            max(last // 1000 + gap_us // 1000, wm_ms + 1)
+        )
+        out.append(row(seq, start, last, n, False))
+        yield pd.DataFrame(out)
+
+    ev = changes.withColumn(
+        "event_time", F.timestamp_millis(F.col("ts_ms"))
+    ).withWatermark("event_time", watermark)
+    return ev.groupBy("conv_id").applyInPandasWithState(
+        fold,
+        outputStructType=SESSION_OUTPUT,
+        stateStructType=SESSION_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -67,3 +67,67 @@ def test_progress_accumulates_across_batches(spark, tmp_path):
         assert last["n_events"] == truth[conv]["n"]
         assert last["max_turn"] == truth[conv]["mt"]
         assert last["last_lsn"] == truth[conv]["lsn"]
+
+
+def test_streaming_sessionize_matches_serial_fold(spark, tmp_path):
+    """Final per-(conv, session) rows must equal a serial gap fold over
+    the same events; sessions close in-stream or by event-time timeout."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from gear5_spark.streaming.sessions import streaming_sessionize
+
+    log = str(tmp_path / "log")
+    generate_changelog(log, n_events=4_000, n_convs=50, chunk_rows=1_000)
+    stream = stream_changelog(spark, log, max_files_per_trigger=1)
+    sessions = streaming_sessionize(stream, gap="2 minutes", watermark="1 minute")
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("conv_sessions")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    rows = spark.sql("SELECT * FROM conv_sessions").collect()
+    assert rows
+    # latest emission per (conv, seq): n_events grows monotonically, so
+    # max(n_events) IS the final state of that session
+    final: dict[tuple, dict] = {}
+    for r in rows:
+        k = (r["conv_id"], r["session_seq"])
+        cur = final.get(k)
+        if cur is None or r["n_events"] >= cur["n_events"]:
+            final[k] = {
+                "n_events": r["n_events"],
+                "start": r["session_start"],
+                "end": r["session_end"],
+            }
+
+    # serial ground truth: same 2-minute gap fold per conversation
+    GAP_MS = 2 * 60 * 1000
+    events: dict[str, list[int]] = {}
+    for p in sorted(glob.glob(os.path.join(log, "chunk-*.parquet"))):
+        for e in pq.read_table(p).to_pylist():
+            events.setdefault(e["conv_id"], []).append(e["ts_ms"])
+    truth: dict[tuple, int] = {}
+    for conv, ts_list in events.items():
+        seq, n, last = 0, 0, None
+        for ts in sorted(ts_list):
+            if last is not None and ts - last > GAP_MS:
+                truth[(conv, seq)] = n
+                seq, n = seq + 1, 0
+            n += 1
+            last = ts
+        truth[(conv, seq)] = n
+
+    got = {k: v["n_events"] for k, v in final.items()}
+    assert got == truth
+    # multiple sessions actually happened (the gap split something)
+    assert any(seq > 0 for _, seq in truth)
+    for k, v in final.items():
+        assert v["start"] <= v["end"]
