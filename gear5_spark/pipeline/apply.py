@@ -107,6 +107,11 @@ class TranscriptsApplier:
                     "table created with delete_mode='soft' "
                     f"(table property is '{prop}')"
                 )
+        if self.rollup is not None and self.rollup.app_id is None:
+            # scope the rollup ledger to THIS applier: different base
+            # app_ids (bulk vs stream, or two pipelines) have independent
+            # batch-id sequences and must not share replay-dedup state
+            self.rollup.app_id = f"{self.app_id}::rollup"
         bad = {"conv_id", "turn_idx"} & set(self.exclude_columns)
         if bad:
             raise ValueError(f"cannot exclude key columns: {sorted(bad)}")

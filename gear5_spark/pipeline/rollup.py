@@ -79,8 +79,13 @@ class ConversationRollup:
         self,
         base_table: LakeTable,
         rollup_table: LakeTable,
-        app_id: str = "transcripts-rollup",
+        app_id: str | None = None,
     ):
+        """``app_id`` scopes the rollup's replay-dedup ledger. Leave it
+        None when attaching to an applier: the applier derives
+        ``<base app_id>::rollup``, so two pipelines (or bulk-vs-stream
+        modes) with independent batch-id sequences never share a ledger
+        and silently skip each other's refreshes."""
         self.base = base_table
         self.rollup = rollup_table
         self.app_id = app_id
@@ -93,7 +98,8 @@ class ConversationRollup:
         output — touched-set extraction costs a memory scan, never a
         driver-side collect, so a bulk batch touching millions of
         conversations still never materializes ids on the driver)."""
-        prev = self.rollup.last_committed_batch(self.app_id)
+        app_id = self.app_id or "transcripts-rollup"
+        prev = self.rollup.last_committed_batch(app_id)
         if prev is not None and batch_id <= prev:
             return  # replayed batch: rollup already reflects it
         from gear5_spark.operators.conversations import conversation_stats
@@ -135,7 +141,7 @@ class ConversationRollup:
         merge_into(
             self.rollup,
             batch,
-            txn_app_id=self.app_id,
+            txn_app_id=app_id,
             txn_batch_id=batch_id,
             lineage={
                 "batch_id": batch_id,

@@ -117,6 +117,13 @@ def streaming_sessionize(
     ``closed=True`` exactly once. Update-mode output also re-emits the
     open session's running row each micro-batch.
 
+    SESSION IDENTITY is ``(conv_id, session_start)`` — start times are
+    strictly increasing per conversation and, unlike ``session_seq``,
+    survive state eviction (after an idle timeout removes the state, a
+    revived conversation's seq restarts at 0; its start time cannot
+    collide). ``session_seq`` is informational: the index within one
+    state lifetime.
+
     State per key is one 4-tuple regardless of event volume, and idle
     keys are evicted on close — bounded state on unbounded keyspaces.
     Ordering: within a micro-batch events are sorted by event time;
@@ -124,7 +131,8 @@ def streaming_sessionize(
     event (event time before the session's last) folds into the current
     session rather than retroactively splitting — the standard
     bounded-disorder tradeoff, with the watermark bounding how late
-    data may be.
+    data may be. Null event times are dropped (they can satisfy no gap
+    relation).
     """
     import re
 
@@ -138,6 +146,8 @@ def streaming_sessionize(
     }[m.group(2)]
 
     def fold(key, pdfs, state: GroupState):
+        import numpy as np
+
         (conv_id,) = key
 
         def row(seq, start, last, n, closed):
@@ -158,23 +168,42 @@ def streaming_sessionize(
         seq, start, last, n = (
             state.get if state.exists else (0, None, None, 0)
         )
-        ts_all = []
+        parts = []
         for pdf in pdfs:
             # normalize to epoch MICROS regardless of the pandas
-            # datetime64 resolution (ns vs us varies by Arrow path)
-            us = pdf["event_time"].values.astype("datetime64[us]").astype(
-                "int64"
-            )
-            ts_all.extend(int(v) for v in us)
+            # datetime64 resolution (ns vs us varies by Arrow path);
+            # drop NaT BEFORE the int cast (NaT casts to INT64_MIN)
+            vals = pdf["event_time"].values
+            vals = vals[~pd.isna(vals)]
+            parts.append(vals.astype("datetime64[us]").astype("int64"))
+        ts = np.sort(np.concatenate(parts)) if parts else np.array([], "int64")
         out = []
-        for ts in sorted(ts_all):
-            if last is not None and ts - last > gap_us:
+        if ts.size:
+            # vectorized gap split: O(sessions) Python work, not O(events)
+            if last is not None and ts[0] - last > gap_us:
                 out.append(row(seq, start, last, n, True))
-                seq, start, n = seq + 1, ts, 0
-            if start is None:
-                start = ts
-            last = max(last, ts) if last is not None else ts
-            n += 1
+                seq, start, n, last = seq + 1, None, 0, None
+            breaks = np.flatnonzero(np.diff(ts) > gap_us)
+            slices = np.split(ts, breaks + 1)
+            for i, chunk in enumerate(slices):
+                if start is None:
+                    start = int(chunk[0])
+                last = int(chunk[-1]) if last is None else max(
+                    last, int(chunk[-1])
+                )
+                n += len(chunk)
+                if i < len(slices) - 1:  # a later chunk closes this one
+                    out.append(row(seq, start, last, n, True))
+                    seq, start, n, last = seq + 1, None, 0, None
+        if last is None:  # batch carried no usable events
+            if state.exists:
+                wm_ms = state.getCurrentWatermarkMs()
+                _s, _st, _l, _n = state.get
+                state.setTimeoutTimestamp(
+                    max(_l // 1000 + gap_us // 1000, wm_ms + 1)
+                )
+            yield pd.DataFrame(out)
+            return
         state.update((seq, start, last, n))
         # close by event-time timeout once the watermark passes the gap
         wm_ms = state.getCurrentWatermarkMs()

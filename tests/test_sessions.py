@@ -95,11 +95,12 @@ def test_streaming_sessionize_matches_serial_fold(spark, tmp_path):
 
     rows = spark.sql("SELECT * FROM conv_sessions").collect()
     assert rows
-    # latest emission per (conv, seq): n_events grows monotonically, so
+    # session identity is (conv_id, session_start) — stable across state
+    # eviction, unlike session_seq; n_events grows monotonically, so
     # max(n_events) IS the final state of that session
     final: dict[tuple, dict] = {}
     for r in rows:
-        k = (r["conv_id"], r["session_seq"])
+        k = (r["conv_id"], r["session_start"])
         cur = final.get(k)
         if cur is None or r["n_events"] >= cur["n_events"]:
             final[k] = {
@@ -114,20 +115,26 @@ def test_streaming_sessionize_matches_serial_fold(spark, tmp_path):
     for p in sorted(glob.glob(os.path.join(log, "chunk-*.parquet"))):
         for e in pq.read_table(p).to_pylist():
             events.setdefault(e["conv_id"], []).append(e["ts_ms"])
+    import datetime as dt
+
     truth: dict[tuple, int] = {}
     for conv, ts_list in events.items():
-        seq, n, last = 0, 0, None
+        n, last, start = 0, None, None
         for ts in sorted(ts_list):
             if last is not None and ts - last > GAP_MS:
-                truth[(conv, seq)] = n
-                seq, n = seq + 1, 0
+                truth[(conv, dt.datetime.utcfromtimestamp(start / 1000))] = n
+                n, start = 0, None
+            if start is None:
+                start = ts
             n += 1
             last = ts
-        truth[(conv, seq)] = n
+        truth[(conv, dt.datetime.utcfromtimestamp(start / 1000))] = n
 
     got = {k: v["n_events"] for k, v in final.items()}
     assert got == truth
     # multiple sessions actually happened (the gap split something)
-    assert any(seq > 0 for _, seq in truth)
+    assert any(
+        sum(1 for c, _ in truth if c == conv) > 1 for conv, _ in truth
+    )
     for k, v in final.items():
         assert v["start"] <= v["end"]
