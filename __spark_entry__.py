@@ -5,7 +5,7 @@ change log into the lake table, returning the final state.
 
 ``queries()`` / ``oracle_sql()`` — one entry per operator from SURVEY.md §2
 plus the training-data-pipeline operators (dedup / similarity / text
-analysis / profiling / conversation analytics). 42 of 45 queries carry a
+analysis / profiling / conversation analytics). 45 of 48 queries carry a
 DuckDB oracle — including the full CDC replay, the incrementally-
 maintained rollup table, snapshot diff, payload type inference and the
 LSH-candidates-plus-exact-confirm dedup paths (oracle equality there
@@ -393,6 +393,48 @@ def _q_lsh_cosine_topk(spark, sf_dir):
     return lsh_cosine_topk(emb, emb.filter(F.col("vec_id") < 20), k=3)
 
 
+def _q_ivf_cosine_topk(spark, sf_dir):
+    # IVF (inverted-file) ANN — the second standard scale path next to
+    # sign-LSH: base vectors assigned once to their nearest centroid's
+    # list, queries probe their 4 nearest of 16 lists; the DuckDB oracle
+    # recomputes the identical deterministic quantization, so this is
+    # value-checked end to end (not just recall-sampled)
+    from gear5_spark.sim.ann import ivf_cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 20), k=3,
+        n_centroids=16, n_probe=4,
+    )
+
+
+def _q_dedup_clusters(spark, sf_dir):
+    # near-dup clustering: LSH candidates -> exact Jaccard >= 0.8 edges
+    # -> connected components -> min-doc_id canonical per cluster; the
+    # DuckDB oracle recomputes components with a recursive CTE over the
+    # exact all-pairs edge set (equality also re-proves LSH recall 1.0)
+    from gear5_spark.text.dedupe import dedup_clusters
+
+    return dedup_clusters(
+        _t(spark, sf_dir, "documents"), threshold=0.8,
+        num_hashes=32, bands=16,
+    )
+
+
+def _q_stratified_sample(spark, sf_dir):
+    # deterministic hash-threshold sampling (domain mixing): decisions
+    # are a pure function of (salt, key) — layout/retry-stable, nested
+    # across fractions, and exactly reproducible in the SQL oracle
+    from gear5_spark.operators.sample import stratified_sample
+
+    return stratified_sample(
+        _t(spark, sf_dir, "events"),
+        "event_type",
+        {"click": 0.25, "view": 0.1, "purchase": 1.0, "error": 0.0},
+        ["event_id"],
+    ).select("event_id", "event_type", "user_id", "ts")
+
+
 def _derived_changes(spark, sf_dir):
     """Deterministic change feed derived from the (oracle-visible) events
     table, so the full engine replay is verifiable by a DuckDB
@@ -730,6 +772,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_jaccard_dedup": _q_lsh_jaccard_dedup,
         "simhash_pairs": _q_simhash_pairs,
         "lsh_cosine_topk": _q_lsh_cosine_topk,
+        "ivf_cosine_topk": _q_ivf_cosine_topk,
+        "dedup_clusters": _q_dedup_clusters,
+        "stratified_sample": _q_stratified_sample,
         "cdc_replay": _q_cdc_replay,
         "payload_inference": _q_payload_inference,
         "snapshot_diff": _q_snapshot_diff,
@@ -744,6 +789,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_top_terms": _q_corpus_top_terms,
         "pii_scan": _q_pii_scan,
     }
+
+
+def _thex(fraction: float) -> str:
+    """Sampling threshold — MUST stay in lockstep with
+    gear5_spark.operators.sample.threshold_hex (imported to guarantee it)."""
+    from gear5_spark.operators.sample import threshold_hex
+
+    return threshold_hex(fraction)
 
 
 _STOPWORDS_SQL = (
@@ -919,6 +972,53 @@ def oracle_sql() -> dict[str, str]:
             "CAST(min({c}) AS VARCHAR) AS min_value, "
             "CAST(max({c}) AS VARCHAR) AS max_value FROM events".format(c=c)
             for c in ("event_id", "user_id", "event_type", "value")
+        ),
+        "ivf_cosine_topk": (
+            "WITH v AS (SELECT vec_id, "
+            "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec "
+            "FROM embeddings), "
+            "c AS (SELECT vec_id AS cid, vec AS cvec FROM v "
+            "WHERE vec_id < 16), "
+            "ac AS (SELECT v.vec_id, c.cid, row_number() OVER ("
+            "PARTITION BY v.vec_id ORDER BY "
+            "list_cosine_similarity(v.vec, c.cvec) DESC, c.cid ASC) AS rn "
+            "FROM v, c), "
+            "base AS (SELECT vec_id AS b_id, cid AS list_id FROM ac "
+            "WHERE rn = 1), "
+            "probes AS (SELECT vec_id AS q_id, cid AS list_id FROM ac "
+            "WHERE rn <= 4 AND vec_id < 20), "
+            "cand AS (SELECT DISTINCT p.q_id, b.b_id FROM probes p "
+            "JOIN base b USING (list_id) WHERE b.b_id <> p.q_id), "
+            "scored AS (SELECT cand.q_id AS vec_id, cand.b_id AS "
+            "neighbor_id, list_cosine_similarity(qv.vec, bv.vec) AS cos "
+            "FROM cand JOIN v qv ON qv.vec_id = cand.q_id "
+            "JOIN v bv ON bv.vec_id = cand.b_id) "
+            "SELECT vec_id, neighbor_id, row_number() OVER ("
+            "PARTITION BY vec_id ORDER BY cos DESC, neighbor_id ASC) AS rnk, "
+            "round(cos, 6) AS cosine FROM scored QUALIFY rnk <= 3"
+        ),
+        "dedup_clusters": (
+            "WITH RECURSIVE j AS (SELECT doc_id_a, doc_id_b FROM ("
+            + _JACCARD_SQL.format(docs_filter="", threshold="0.8")
+            + ") jj), "
+            "sym AS (SELECT doc_id_a AS a, doc_id_b AS b FROM j "
+            "UNION SELECT doc_id_b, doc_id_a FROM j), "
+            "r AS (SELECT a AS node, a AS lab FROM sym "
+            "UNION SELECT s.a, r.lab FROM sym s JOIN r ON s.b = r.node), "
+            "m AS (SELECT node AS doc_id, min(lab) AS cluster_id "
+            "FROM r GROUP BY node) "
+            "SELECT doc_id, cluster_id, "
+            "count(*) OVER (PARTITION BY cluster_id) AS cluster_size, "
+            "doc_id = cluster_id AS is_canonical FROM m"
+        ),
+        "stratified_sample": (
+            "SELECT event_id, event_type, user_id, ts FROM events "
+            "WHERE substr(md5('gear5|' || CAST(event_id AS VARCHAR)), 1, 15)"
+            " < CASE event_type "
+            f"WHEN 'click' THEN '{_thex(0.25)}' "
+            f"WHEN 'view' THEN '{_thex(0.1)}' "
+            f"WHEN 'purchase' THEN '{_thex(1.0)}' "
+            f"ELSE '{_thex(0.0)}' END"
         ),
         "ngram_jaccard": _JACCARD_SQL.format(
             docs_filter="WHERE doc_id < 500", threshold="0.3"

@@ -218,6 +218,117 @@ def ngram_jaccard(
     return j
 
 
+def connected_components(
+    edges: DataFrame,
+    a_col: str = "doc_id_a",
+    b_col: str = "doc_id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components of an undirected pair graph by iterative
+    min-label propagation: every node starts labeled with itself; each
+    round every node takes the min of its own label and its neighbors'
+    labels; fixpoint = each node labeled with its component's min id.
+
+    Scale shape: one equi-join + one partial-aggregated groupBy per
+    round, converging in O(component diameter) rounds — near-duplicate
+    clusters are shallow (stars/cliques from shared buckets), so this
+    terminates in a handful of rounds even at corpus scale. Lineage is
+    cut with ``localCheckpoint`` every round so the plan stays flat.
+    (For adversarially long path graphs, alternate large-star/small-star
+    [Kiveris et al., "Connected Components in MapReduce"] gives
+    O(log n) rounds — same join primitive, not needed for dedup graphs.)
+
+    Returns (node, label) — label is the min doc_id of the component.
+    """
+    sym = (
+        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(
+            edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    try:
+        for _ in range(max_iterations):
+            nbr = sym.join(
+                labels, sym["dst"] == labels["node"]
+            ).select(F.col("src").alias("node"), "label")
+            new = (
+                labels.union(nbr)
+                .groupBy("node")
+                .agg(F.min("label").alias("label"))
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .limit(1)
+                .count()
+            )
+            labels = new
+            if changed == 0:
+                break
+    finally:
+        sym.unpersist()
+    return labels
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    bands: int = 16,
+    shingle_n: int = 3,
+    max_bucket_size: int = 1000,
+    max_iterations: int = 25,
+) -> DataFrame:
+    """End-to-end near-duplicate clustering — the "keep one per cluster"
+    step of a dedup pipeline: LSH proposes candidates (banded equi-join),
+    exact n-gram Jaccard >= threshold confirms edges, connected
+    components groups transitively-linked docs, and the min doc_id of
+    each component is its canonical representative.
+
+    Output: (doc_id, cluster_id, cluster_size, is_canonical) for every
+    doc that belongs to a multi-doc cluster; downstream keeps
+    ``is_canonical`` rows and drops the rest. Singleton docs never enter
+    the pair graph and are implicitly kept."""
+    from pyspark.sql import Window as W
+
+    pairs = ngram_jaccard(
+        docs,
+        candidates=lsh_near_duplicates(
+            docs,
+            num_hashes=num_hashes,
+            bands=bands,
+            shingle_n=shingle_n,
+            max_bucket_size=max_bucket_size,
+        ),
+        shingle_n=shingle_n,
+        threshold=threshold,
+    )
+    labels = connected_components(
+        pairs, "doc_id_a", "doc_id_b", max_iterations
+    )
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+    ).select(
+        "doc_id",
+        "cluster_id",
+        F.count(F.lit(1))
+        .over(W.partitionBy("cluster_id"))
+        .alias("cluster_size"),
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
 def simhash(docs: DataFrame, shingle_n: int = 2) -> DataFrame:
     """64-bit SimHash per document from shingle hashes.
 

@@ -1,0 +1,206 @@
+"""Deterministic sampling, near-dup clustering, and IVF ANN.
+
+- hash_sample: pure-function-of-key decisions — stable under
+  repartitioning, nested across fractions, per-stratum mixing exact.
+- connected_components / dedup_clusters: component labels equal the
+  NetworkX-free union-find ground truth on synthetic graphs; clustering
+  groups transitive near-dups with the min doc_id canonical.
+- ivf_cosine_topk: equals brute force when every list is probed
+  (n_probe == n_centroids), and recall@k is measured (not assumed) at
+  the default probe count.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+# ------------------------------------------------------------- sampling
+
+
+def test_threshold_hex_bounds():
+    from gear5_spark.operators.sample import threshold_hex
+
+    assert threshold_hex(0.0) == "0" * 15
+    assert threshold_hex(-1.0) == "0" * 15
+    assert threshold_hex(1.0) == "g"
+    assert threshold_hex(2.0) == "g"
+    t = threshold_hex(0.5)
+    assert len(t) == 15 and t[0] == "8"
+    # monotone: larger fraction -> lexicographically larger threshold
+    assert threshold_hex(0.1) < threshold_hex(0.2) < threshold_hex(0.9) < "g"
+
+
+def test_hash_sample_deterministic_and_nested(spark):
+    from gear5_spark.operators.sample import hash_sample
+
+    df = spark.range(0, 20_000).withColumnRenamed("id", "k")
+    s30a = {r.k for r in hash_sample(df, 0.3, ["k"]).collect()}
+    s30b = {
+        r.k for r in hash_sample(df.repartition(17), 0.3, ["k"]).collect()
+    }
+    assert s30a == s30b  # layout-independent
+    s10 = {r.k for r in hash_sample(df, 0.1, ["k"]).collect()}
+    assert s10 <= s30a  # nested samples
+    # fraction approximately honored (60-bit uniform draw)
+    assert 0.27 < len(s30a) / 20_000 < 0.33
+    assert 0.08 < len(s10) / 20_000 < 0.12
+    # different salt -> different (still deterministic) sample
+    s30c = {r.k for r in hash_sample(df, 0.3, ["k"], salt="other").collect()}
+    assert s30c != s30a
+
+
+def test_stratified_sample_mixing(spark):
+    from gear5_spark.operators.sample import stratified_sample
+
+    df = spark.range(0, 30_000).select(
+        F.col("id").alias("k"),
+        F.element_at(
+            F.array(F.lit("web"), F.lit("code"), F.lit("forum")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("domain"),
+    )
+    out = stratified_sample(
+        df, "domain", {"web": 0.1, "code": 1.0, "forum": 0.0}, ["k"]
+    )
+    counts = {
+        r.domain: r.n
+        for r in out.groupBy("domain").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts.get("code") == 10_000  # fraction 1.0 keeps everything
+    assert "forum" not in counts  # fraction 0.0 drops everything
+    assert 700 < counts.get("web", 0) < 1300
+    # unmapped strata use default_fraction (drop)
+    out2 = stratified_sample(df, "domain", {"code": 1.0}, ["k"])
+    assert out2.select("domain").distinct().collect() == [
+        ("code",)
+    ] or {r.domain for r in out2.select("domain").distinct().collect()} == {
+        "code"
+    }
+
+
+# ------------------------------------------- connected components / clusters
+
+
+def _uf_components(edges):
+    """Ground-truth union-find."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@pytest.mark.parametrize(
+    "edges",
+    [
+        [(1, 2), (2, 3), (3, 4)],  # chain (worst diameter)
+        [(10, 11), (11, 12), (10, 12), (20, 21)],  # clique + island
+        [(5, 1), (9, 5), (2, 9), (100, 7)],  # unsorted labels
+    ],
+)
+def test_connected_components_matches_union_find(spark, edges):
+    from gear5_spark.text.dedupe import connected_components
+
+    df = spark.createDataFrame(edges, ["doc_id_a", "doc_id_b"])
+    got = {
+        r.node: r.label for r in connected_components(df).collect()
+    }
+    assert got == _uf_components(edges)
+
+
+def test_dedup_clusters_synthetic(spark):
+    from gear5_spark.text.dedupe import dedup_clusters
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep dark forest to hide from every hunter"
+    )
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, base + " tonight"),  # near dup of 1/2
+        (4, "completely different text about spark engines and parquet "
+            "files processed at scale with adaptive query execution on"),
+        (5, "completely different text about spark engines and parquet "
+            "files processed at scale with adaptive query execution on"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: (r.cluster_id, r.cluster_size, r.is_canonical)
+        for r in dedup_clusters(docs, threshold=0.5).collect()
+    }
+    assert out[1] == (1, 3, True)
+    assert out[2] == (1, 3, False)
+    assert out[3] == (1, 3, False)
+    assert out[4] == (4, 2, True)
+    assert out[5] == (4, 2, False)
+
+
+def test_dedup_clusters_no_pairs(spark):
+    from gear5_spark.text.dedupe import dedup_clusters
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "one two three four five six seven")],
+        ["doc_id", "text"],
+    )
+    assert dedup_clusters(docs, threshold=0.9).count() == 0
+
+
+# ----------------------------------------------------------------- IVF ANN
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def test_ivf_full_probe_equals_brute_force(emb):
+    from gear5_spark.sim.ann import cosine_topk, ivf_cosine_topk
+
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.vec_id, r.rnk): r.neighbor_id
+        for r in cosine_topk(emb, q, k=3).collect()
+    }
+    full = {
+        (r.vec_id, r.rnk): r.neighbor_id
+        for r in ivf_cosine_topk(
+            emb, q, k=3, n_centroids=8, n_probe=8
+        ).collect()
+    }
+    assert full == exact
+
+
+def test_ivf_recall_measured(emb):
+    from gear5_spark.sim.ann import cosine_topk, ivf_cosine_topk
+
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r.vec_id, r.neighbor_id) for r in cosine_topk(emb, q, k=3).collect()
+    }
+    approx = {
+        (r.vec_id, r.neighbor_id)
+        for r in ivf_cosine_topk(
+            emb, q, k=3, n_centroids=16, n_probe=8
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # uniform-random embeddings are the ANN worst case (no cluster
+    # structure for the quantizer to exploit); half the lists probed
+    # must still recover the bulk of true neighbors
+    assert recall >= 0.5
+    assert len(approx) <= len(exact)  # candidates only shrink the answer
