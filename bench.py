@@ -265,6 +265,9 @@ def main() -> None:
         "simhash_pairs",
         "cosine_topk",
         "lsh_cosine_topk",
+        "ivf_cosine_topk",
+        "dedup_clusters",
+        "stratified_sample",
     ]
     qs = entrymod.queries()
     for name in bench_queries:
@@ -308,8 +311,18 @@ def main() -> None:
         (r.doc_id_a, r.doc_id_b)
         for r in lsh_near_duplicates(sub, num_hashes=32, bands=16).collect()
     }
+    from gear5_spark.sim.ann import ivf_cosine_topk
+
+    ivf_nn = {
+        (r.vec_id, r.neighbor_id)
+        for r in ivf_cosine_topk(emb, q, k=3, n_centroids=16, n_probe=4)
+        .collect()
+    }
     recall = {
         "ann_recall_at_3": round(len(true_nn & approx_nn) / len(true_nn), 3)
+        if true_nn
+        else None,
+        "ivf_recall_at_3": round(len(true_nn & ivf_nn) / len(true_nn), 3)
         if true_nn
         else None,
         "lsh_pair_recall_at_08": round(

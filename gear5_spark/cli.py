@@ -210,6 +210,7 @@ def cmd_read(args) -> int:
             normalize_mode=cfg.normalize_mode,
             exclude_columns=cfg.exclude_columns,
             rollup=rollup,
+            partition_lineage=cfg.partition_lineage,
         )
     else:
         applier = make_applier(
@@ -219,6 +220,7 @@ def cmd_read(args) -> int:
             compact_every=cfg.compact_every, quarantine_dir=cfg.quarantine_dir,
             exclude_columns=cfg.exclude_columns,
             rollup=rollup,
+            partition_lineage=cfg.partition_lineage,
         )
         run_stream(
             spark, cfg.changelog_dir, table, cfg.checkpoint_dir,

@@ -36,6 +36,9 @@ class PipelineConfig:
     rollup_dir: str | None = None
     app_id: str = "transcripts-cdc"
     exclude_columns: list[str] = field(default_factory=list)
+    # per-source-partition lineage (per input file: lsn range + rows from
+    # footer stats); driver-side metadata reads only
+    partition_lineage: bool = True
 
     @classmethod
     def from_file(cls, path: str) -> "PipelineConfig":

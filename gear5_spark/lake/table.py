@@ -1054,11 +1054,10 @@ class LakeTable:
                     rows.append(json.loads(line))
         return rows
 
-    def lineage_df(self) -> DataFrame:
-        """Lineage/metrics rows of every commit, as a DataFrame
-        (A3/§FIXTURES.4) — including commits whose snapshots were
-        expired (read back from the archive, deduped by version)."""
-        rows = []
+    def _lineage_entries(self) -> list[dict[str, Any]]:
+        """Every commit's lineage entry, archive-inclusive, deduped by
+        snapshot version."""
+        rows: list[dict[str, Any]] = []
         seen: set[int] = set()
         for entry in self._archived_lineage():
             v = entry.get("snapshot_version")
@@ -1072,6 +1071,13 @@ class LakeTable:
                     and s.version not in seen
                 ):
                     rows.append(entry)
+        return rows
+
+    def lineage_df(self) -> DataFrame:
+        """Lineage/metrics rows of every commit, as a DataFrame
+        (A3/§FIXTURES.4) — including commits whose snapshots were
+        expired (read back from the archive, deduped by version)."""
+        rows = self._lineage_entries()
         schema = T.StructType(
             [
                 T.StructField("batch_id", T.LongType()),
@@ -1086,6 +1092,37 @@ class LakeTable:
         )
         data = [
             tuple(r.get(f.name) for f in schema.fields) for r in rows
+        ]
+        return self.spark.createDataFrame(data, schema)
+
+    def partition_lineage_df(self) -> DataFrame:
+        """Per-source-partition lineage metrics table: one row per input
+        file (source partition) of every committed micro-batch, with its
+        offset (lsn) range, row count, and the commit's snapshot id —
+        the partition-granular companion of :meth:`lineage_df`. Rows
+        exist for batches applied with ``partition_lineage`` enabled
+        (the applier default) from a file-backed feed."""
+        schema = T.StructType(
+            [
+                T.StructField("snapshot_version", T.LongType()),
+                T.StructField("batch_id", T.LongType()),
+                T.StructField("path", T.StringType()),
+                T.StructField("rows", T.LongType()),
+                T.StructField("lsn_min", T.LongType()),
+                T.StructField("lsn_max", T.LongType()),
+            ]
+        )
+        data = [
+            (
+                entry.get("snapshot_version"),
+                entry.get("batch_id"),
+                p.get("path"),
+                p.get("rows"),
+                p.get("lsn_min"),
+                p.get("lsn_max"),
+            )
+            for entry in self._lineage_entries()
+            for p in entry.get("partitions", [])
         ]
         return self.spark.createDataFrame(data, schema)
 

@@ -85,6 +85,10 @@ class TranscriptsApplier:
     sink_mode: str = "cow"  # cow | mor (delta files + periodic compaction)
     compact_every: int = 8
     quarantine_dir: str | None = None  # dead-letter sink for unkeyable events
+    # per-source-partition lineage (north-star metric): per input file,
+    # its lsn range + row count from parquet FOOTER stats — driver-side
+    # metadata reads only, never an extra Spark job over the batch
+    partition_lineage: bool = True
     exclude_columns: list[str] = field(default_factory=list)  # P2
     # optional incrementally-maintained derived table
     # (gear5_spark.pipeline.rollup.ConversationRollup); refreshed with
@@ -238,8 +242,7 @@ class TranscriptsApplier:
         # collapses to the few distinct key *shapes*) and the affected
         # bucket set; no separate stats job.
         obs = Observation(f"cdc-stats-{uuid.uuid4().hex[:8]}")
-        observed = batch.observe(
-            obs,
+        metrics = [
             F.min("lsn").alias("lsn_min"),
             F.max("lsn").alias("lsn_max"),
             F.count(F.lit(1)).alias("event_count"),
@@ -251,7 +254,17 @@ class TranscriptsApplier:
             F.sum(
                 F.when(_malformed_key(), 1).otherwise(0)
             ).alias("malformed_count"),
-        )
+        ]
+        if self.partition_lineage:
+            # file provenance for per-partition lineage: distinct source
+            # files is O(batch files) and rides the same scan.
+            # input_file_name() is nondeterministic and must be projected
+            # before it can feed an Observation aggregate.
+            batch = batch.withColumn("_src_file", F.input_file_name())
+            metrics.append(F.collect_set(F.col("_src_file")).alias("src_files"))
+        observed = batch.observe(obs, *metrics)
+        if self.partition_lineage:
+            observed = observed.drop("_src_file")
         # dead-letter routing: events that cannot be keyed are excluded
         # from the apply and (optionally) appended to a quarantine sink —
         # they are still counted in lineage for audit
@@ -274,7 +287,9 @@ class TranscriptsApplier:
                 # idempotent per batch: the dead-letter write is OUTSIDE
                 # the atomic commit, so a crash-then-replay would append
                 # duplicates — overwrite into a batch_id subdir instead
-                batch.filter(_malformed_key()).write.mode("overwrite").parquet(
+                batch.filter(_malformed_key()).drop(
+                    "_src_file"
+                ).write.mode("overwrite").parquet(
                     os.path.join(self.quarantine_dir, f"batch_id={batch_id}")
                 )
             if n_keys == 0:
@@ -311,6 +326,15 @@ class TranscriptsApplier:
                 "malformed_count": int(stats.get("malformed_count") or 0),
                 "snapshot_version": self.table.current_version() + 1,
             }
+            if self.partition_lineage:
+                with span("apply.partition_lineage"):
+                    parts, truncated = _partition_lineage(
+                        stats.get("src_files") or []
+                    )
+                if parts:
+                    lineage["partitions"] = parts
+                    if truncated:
+                        lineage["partitions_truncated"] = truncated
             affected = list(stats["buckets"] or [])
             if self.sink_mode == "mor":
                 from gear5_spark.lake.mor import compact, merge_delta
@@ -355,3 +379,57 @@ def _malformed_key():
     """Events that cannot participate in the keyed apply (null key parts
     — a feed bug; the reference would emit them as-is, we quarantine)."""
     return F.col("conv_id").isNull() | F.col("turn_idx").isNull()
+
+
+_PARTITION_LINEAGE_CAP = 128
+
+
+def _partition_lineage(
+    src_files: list[str], cap: int = _PARTITION_LINEAGE_CAP
+) -> tuple[list[dict], int]:
+    """Per-source-partition lineage rows for a micro-batch: one entry
+    per input file with its row count and lsn offset range, read from
+    the parquet FOOTER (row-group statistics) — O(files) driver-side
+    metadata reads, bounded by ``maxFilesPerTrigger``, no data scanned.
+
+    ``src_files`` is the batch's distinct ``input_file_name()`` set
+    (collected on the stats Observation). Batches without file
+    provenance (in-memory DataFrames) yield no entries. Files beyond
+    ``cap`` are summarized by the returned truncation count — never
+    silently dropped (the batch-level lsn range still covers them)."""
+    import pyarrow.parquet as pq
+
+    names = sorted(f for f in src_files if f)
+    parts: list[dict] = []
+    for uri in names[:cap]:
+        path = uri
+        if path.startswith("file:"):
+            from urllib.parse import unquote, urlparse
+
+            path = unquote(urlparse(path).path)
+        try:
+            md = pq.ParquetFile(path).metadata
+        except Exception:
+            continue  # file moved/non-local — batch-level stats cover it
+        entry: dict = {
+            "path": os.path.basename(path),
+            "rows": int(md.num_rows),
+        }
+        try:
+            ci = md.schema.names.index("lsn")
+        except ValueError:
+            ci = -1
+        if ci >= 0:
+            lo = hi = None
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    lo = hi = None
+                    break
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            if lo is not None:
+                entry["lsn_min"] = int(lo)
+                entry["lsn_max"] = int(hi)
+        parts.append(entry)
+    return parts, max(0, len(names) - cap)

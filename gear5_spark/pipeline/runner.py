@@ -126,6 +126,7 @@ def replay_batch(
     order_guard: bool = False,
     exclude_columns: list[str] | None = None,
     rollup=None,
+    partition_lineage: bool = True,
 ) -> LakeTable:
     """Bulk replay: whole (or cursor-bounded) change log in one merge.
 
@@ -141,6 +142,7 @@ def replay_batch(
         order_guard=order_guard,
         exclude_columns=exclude_columns or [],
         rollup=rollup,
+        partition_lineage=partition_lineage,
     )
     changes = read_changelog(spark, changelog_dir, min_lsn=min_lsn, max_lsn=max_lsn)
     last = table.last_committed_batch(app_id)
