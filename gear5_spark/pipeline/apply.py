@@ -255,15 +255,20 @@ class TranscriptsApplier:
                 F.when(_malformed_key(), 1).otherwise(0)
             ).alias("malformed_count"),
         ]
-        if self.partition_lineage:
-            # file provenance for per-partition lineage: distinct source
-            # files is O(batch files) and rides the same scan.
-            # input_file_name() is nondeterministic and must be projected
-            # before it can feed an Observation aggregate.
+        # file provenance for per-partition lineage: resolved from the
+        # batch's plan (file-index scan) when available — no job, no
+        # per-row cost. Streaming micro-batches don't expose inputFiles;
+        # there the provenance rides the stats scan as one more metric
+        # (batches are maxFilesPerTrigger-bounded, so the per-row
+        # input_file_name projection is cheap; it is nondeterministic and
+        # must be projected before feeding an Observation aggregate).
+        src_files = list(batch.inputFiles()) if self.partition_lineage else []
+        collect_provenance = self.partition_lineage and not src_files
+        if collect_provenance:
             batch = batch.withColumn("_src_file", F.input_file_name())
             metrics.append(F.collect_set(F.col("_src_file")).alias("src_files"))
         observed = batch.observe(obs, *metrics)
-        if self.partition_lineage:
+        if collect_provenance:
             observed = observed.drop("_src_file")
         # dead-letter routing: events that cannot be keyed are excluded
         # from the apply and (optionally) appended to a quarantine sink —
@@ -287,9 +292,7 @@ class TranscriptsApplier:
                 # idempotent per batch: the dead-letter write is OUTSIDE
                 # the atomic commit, so a crash-then-replay would append
                 # duplicates — overwrite into a batch_id subdir instead
-                batch.filter(_malformed_key()).drop(
-                    "_src_file"
-                ).write.mode("overwrite").parquet(
+                batch.filter(_malformed_key()).write.mode("overwrite").parquet(
                     os.path.join(self.quarantine_dir, f"batch_id={batch_id}")
                 )
             if n_keys == 0:
@@ -327,10 +330,10 @@ class TranscriptsApplier:
                 "snapshot_version": self.table.current_version() + 1,
             }
             if self.partition_lineage:
+                if collect_provenance:
+                    src_files = list(stats.get("src_files") or [])
                 with span("apply.partition_lineage"):
-                    parts, truncated = _partition_lineage(
-                        stats.get("src_files") or []
-                    )
+                    parts, truncated = _partition_lineage(src_files)
                 if parts:
                     lineage["partitions"] = parts
                     if truncated:
@@ -392,8 +395,8 @@ def _partition_lineage(
     the parquet FOOTER (row-group statistics) — O(files) driver-side
     metadata reads, bounded by ``maxFilesPerTrigger``, no data scanned.
 
-    ``src_files`` is the batch's distinct ``input_file_name()`` set
-    (collected on the stats Observation). Batches without file
+    ``src_files`` is the batch's ``DataFrame.inputFiles()`` — resolved
+    from the plan's file index, no job. Batches without file
     provenance (in-memory DataFrames) yield no entries. Files beyond
     ``cap`` are summarized by the returned truncation count — never
     silently dropped (the batch-level lsn range still covers them)."""

@@ -49,6 +49,22 @@ def test_partition_lineage_recorded(spark, tiny_changelog, tmp_path):
     assert joined.count() == 0
 
 
+def test_partition_lineage_bulk_path(spark, tiny_changelog, tmp_path):
+    """The bulk replay resolves provenance from the plan's file index
+    (DataFrame.inputFiles) — every chunk appears, counts reconcile."""
+    from gear5_spark.pipeline.runner import bootstrap_table, replay_batch
+
+    log_dir, manifest = tiny_changelog
+    table = bootstrap_table(spark, str(tmp_path / "t"), n_buckets=8)
+    replay_batch(
+        spark, log_dir, table, checkpoint_dir=str(tmp_path / "c")
+    )
+    (entry,) = table._lineage_entries()
+    parts = entry["partitions"]
+    assert len(parts) == manifest["chunks"]
+    assert sum(p["rows"] for p in parts) == entry["event_count"]
+
+
 def test_partition_lineage_absent_for_memory_batches(spark, tmp_path):
     from gear5_spark.pipeline.runner import bootstrap_table, make_applier
 
