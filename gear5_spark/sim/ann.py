@@ -206,6 +206,52 @@ def ivf_centroids(
     return sorted((r[0], [float(x) for x in r[1]]) for r in rows)
 
 
+def kmeans_centroids(
+    emb: DataFrame,
+    k: int = 16,
+    iterations: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic Lloyd refinement of the min-id seed centroids, as
+    plain DataFrame aggregations (the standard distributed k-means
+    shape): assign every vector to its nearest centroid with the
+    broadcast argmax expression, recompute per-list element-wise means
+    via ``posexplode`` + partial-aggregated ``avg`` (one shuffle of
+    N*dim skinny rows per iteration), repeat. No RNG anywhere — seeds
+    are the k min-id vectors, so two runs produce identical centroids.
+    An emptied list keeps its previous centroid (FAISS behavior)."""
+    cents = ivf_centroids(emb, k, vec_col, id_col)
+    for _ in range(iterations):
+        # two projections: the argmax expression (nested lambda
+        # functions) cannot share a select with a generator — the
+        # Generate rewrite strips struct field names
+        assigned = emb.select(
+            F.element_at(_top_lists(F.col(vec_col), cents, 1), 1).alias(
+                "list_id"
+            ),
+            F.col(vec_col).alias("_v"),
+        ).select("list_id", F.posexplode("_v").alias("pos", "x"))
+        means = (
+            assigned.groupBy("list_id", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .groupBy("list_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "m"))
+                ).alias("pm")
+            )
+            .select(
+                "list_id",
+                F.transform(F.col("pm"), lambda s: s["m"]).alias("vec"),
+            )
+            .collect()
+        )
+        new = {int(r["list_id"]): [float(x) for x in r["vec"]] for r in means}
+        cents = [(cid, new.get(cid, v)) for cid, v in cents]
+    return cents
+
+
 def _centroid_scores(vec_col_expr, cents):
     """Array of (cosine-to-centroid, -cid) structs — a pure JVM
     expression over broadcast centroid literals; no shuffle, no UDF."""
@@ -247,6 +293,7 @@ def ivf_cosine_topk(
     n_probe: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: base vectors are assigned
     to their nearest centroid's inverted list ONCE (one pass, no
@@ -259,8 +306,11 @@ def ivf_cosine_topk(
     n_centroids of the corpus per query, the probe join is a (list_id)
     equi-join with the small query side broadcast, and the base table is
     never cross-joined. Recall is measured against the exact answer in
-    tests/test_recall.py, never assumed."""
-    cents = ivf_centroids(emb, n_centroids, vec_col, id_col)
+    tests/test_recall.py, never assumed.
+
+    ``centroids`` overrides the default min-id quantizer — pass
+    :func:`kmeans_centroids` output for a data-adapted partitioning."""
+    cents = centroids or ivf_centroids(emb, n_centroids, vec_col, id_col)
     b = emb.select(
         F.col(id_col).alias("b_id"),
         F.col(vec_col).alias("b_vec"),

@@ -185,6 +185,35 @@ def test_ivf_full_probe_equals_brute_force(emb):
     assert full == exact
 
 
+def test_kmeans_centroids_deterministic_and_usable(emb):
+    from gear5_spark.sim.ann import (
+        cosine_topk,
+        ivf_cosine_topk,
+        kmeans_centroids,
+    )
+
+    c1 = kmeans_centroids(emb, k=8, iterations=2)
+    c2 = kmeans_centroids(emb, k=8, iterations=2)
+    assert c1 == c2  # no RNG anywhere
+    assert len(c1) == 8 and all(len(v) == 64 for _, v in c1)
+    # refined centroids differ from the raw seeds
+    from gear5_spark.sim.ann import ivf_centroids
+
+    assert c1 != ivf_centroids(emb, 8)
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.vec_id, r.neighbor_id) for r in cosine_topk(emb, q, k=3).collect()
+    }
+    got = {
+        (r.vec_id, r.neighbor_id)
+        for r in ivf_cosine_topk(
+            emb, q, k=3, n_probe=4, centroids=c1
+        ).collect()
+    }
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.5
+
+
 def test_ivf_recall_measured(emb):
     from gear5_spark.sim.ann import cosine_topk, ivf_cosine_topk
 
