@@ -263,6 +263,24 @@ def connected_components(
                 labels.union(nbr)
                 .groupBy("node")
                 .agg(F.min("label").alias("label"))
+            )
+            # pointer jump (path halving): replace each label by ITS
+            # label, so labels hop two levels per round — convergence in
+            # O(log diameter) rounds instead of O(diameter)
+            new = (
+                new.alias("x")
+                .join(
+                    new.select(
+                        F.col("node").alias("l_node"),
+                        F.col("label").alias("l_label"),
+                    ),
+                    F.col("x.label") == F.col("l_node"),
+                    "left",
+                )
+                .select(
+                    F.col("x.node").alias("node"),
+                    F.coalesce("l_label", "x.label").alias("label"),
+                )
                 .localCheckpoint(eager=True)
             )
             changed = (
