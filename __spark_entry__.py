@@ -5,7 +5,7 @@ change log into the lake table, returning the final state.
 
 ``queries()`` / ``oracle_sql()`` — one entry per operator from SURVEY.md §2
 plus the training-data-pipeline operators (dedup / similarity / text
-analysis / profiling / conversation analytics). 45 of 48 queries carry a
+analysis / profiling / conversation analytics). 46 of 49 queries carry a
 DuckDB oracle — including the full CDC replay, the incrementally-
 maintained rollup table, snapshot diff, payload type inference and the
 LSH-candidates-plus-exact-confirm dedup paths (oracle equality there
@@ -421,6 +421,19 @@ def _q_dedup_clusters(spark, sf_dir):
     )
 
 
+def _q_corpus_curation(spark, sf_dir):
+    # the full curation funnel composed end to end (near-dup removal ->
+    # quality gate -> deterministic down-sample); one DuckDB oracle
+    # value-checks the entire pipeline, proving the stages compose
+    # without drift
+    from gear5_spark.text.curate import curate_corpus
+
+    return curate_corpus(
+        _t(spark, sf_dir, "documents"),
+        min_tokens=30, sample_fraction=0.5,
+    )
+
+
 def _q_stratified_sample(spark, sf_dir):
     # deterministic hash-threshold sampling (domain mixing): decisions
     # are a pure function of (salt, key) — layout/retry-stable, nested
@@ -775,6 +788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_cosine_topk": _q_ivf_cosine_topk,
         "dedup_clusters": _q_dedup_clusters,
         "stratified_sample": _q_stratified_sample,
+        "corpus_curation": _q_corpus_curation,
         "cdc_replay": _q_cdc_replay,
         "payload_inference": _q_payload_inference,
         "snapshot_diff": _q_snapshot_diff,
@@ -1010,6 +1024,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, cluster_id, "
             "count(*) OVER (PARTITION BY cluster_id) AS cluster_size, "
             "doc_id = cluster_id AS is_canonical FROM m"
+        ),
+        "corpus_curation": (
+            "WITH RECURSIVE j AS (SELECT doc_id_a, doc_id_b FROM ("
+            + _JACCARD_SQL.format(docs_filter="", threshold="0.8")
+            + ") jj), "
+            "sym AS (SELECT doc_id_a AS a, doc_id_b AS b FROM j "
+            "UNION SELECT doc_id_b, doc_id_a FROM j), "
+            "r AS (SELECT a AS node, a AS lab FROM sym "
+            "UNION SELECT s.a, r.lab FROM sym s JOIN r ON s.b = r.node), "
+            "m AS (SELECT node AS doc_id, min(lab) AS cluster_id "
+            "FROM r GROUP BY node), "
+            "noncanon AS (SELECT doc_id FROM m WHERE doc_id <> cluster_id), "
+            "tok AS (SELECT doc_id, "
+            "len(string_split_regex(trim(lower(text)), '\\s+')) AS n_tokens "
+            "FROM documents) "
+            "SELECT t.doc_id, t.n_tokens FROM tok t "
+            "LEFT JOIN noncanon n ON t.doc_id = n.doc_id "
+            "WHERE n.doc_id IS NULL AND t.n_tokens >= 30 "
+            "AND substr(md5('gear5|' || CAST(t.doc_id AS VARCHAR)), 1, 15)"
+            f" < '{_thex(0.5)}'"
         ),
         "stratified_sample": (
             "SELECT event_id, event_type, user_id, ts FROM events "

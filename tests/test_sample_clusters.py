@@ -82,6 +82,59 @@ def test_stratified_sample_mixing(spark):
     }
 
 
+def test_hash_sample_nested_property(spark):
+    """Nesting is structural: for ANY f1 < f2, the f1 sample of a key set
+    is a subset of its f2 sample (thresholds are order-isomorphic)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from gear5_spark.operators.sample import threshold_hex
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        f1=st.floats(0.0, 1.0, allow_nan=False),
+        f2=st.floats(0.0, 1.0, allow_nan=False),
+    )
+    def check(f1, f2):
+        lo, hi = sorted((f1, f2))
+        assert threshold_hex(lo) <= threshold_hex(hi)
+        t = threshold_hex(lo)
+        assert t == "g" or (len(t) == 15 and all(c in "0123456789abcdef" for c in t))
+
+    check()
+
+
+def test_curate_corpus_funnel(spark):
+    from gear5_spark.text.curate import curate_corpus
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    rows = [
+        (1, base),              # canonical of the dup pair
+        (2, base),              # exact dup -> dropped
+        (3, "too short"),       # quality-gated
+        (4, "totally different words " * 7),  # unique, long enough
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = curate_corpus(
+        docs, min_tokens=10, sample_fraction=1.0, dedup_threshold=0.5
+    )
+    kept = {r.doc_id for r in out.collect()}
+    assert 2 not in kept  # near-dup loser removed
+    assert 3 not in kept  # short doc gated
+    assert kept <= {1, 4}
+    assert 4 in kept
+    # sampling composes: fraction 0 keeps nothing
+    assert (
+        curate_corpus(
+            docs, min_tokens=10, sample_fraction=0.0, dedup_threshold=0.5
+        ).count()
+        == 0
+    )
+
+
 # ------------------------------------------- connected components / clusters
 
 
