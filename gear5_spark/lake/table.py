@@ -1101,7 +1101,10 @@ class LakeTable:
         offset (lsn) range, row count, and the commit's snapshot id —
         the partition-granular companion of :meth:`lineage_df`. Rows
         exist for batches applied with ``partition_lineage`` enabled
-        (the applier default) from a file-backed feed."""
+        (the applier default) from a file-backed feed.
+        ``batch_truncated_files`` surfaces the count of files beyond the
+        per-batch recording cap (repeated on each of the batch's rows)
+        so a shortfall against ``event_count`` is never silent."""
         schema = T.StructType(
             [
                 T.StructField("snapshot_version", T.LongType()),
@@ -1110,6 +1113,7 @@ class LakeTable:
                 T.StructField("rows", T.LongType()),
                 T.StructField("lsn_min", T.LongType()),
                 T.StructField("lsn_max", T.LongType()),
+                T.StructField("batch_truncated_files", T.LongType()),
             ]
         )
         data = [
@@ -1120,6 +1124,7 @@ class LakeTable:
                 p.get("rows"),
                 p.get("lsn_min"),
                 p.get("lsn_max"),
+                entry.get("partitions_truncated", 0),
             )
             for entry in self._lineage_entries()
             for p in entry.get("partitions", [])

@@ -47,9 +47,19 @@ def threshold_hex(fraction: float) -> str:
 
 
 def hash_draw(key_cols: list[str | Column], salt: str = "gear5") -> Column:
-    """The 60-bit uniform draw as a 15-char lowercase-hex column."""
+    """The 60-bit uniform draw as a 15-char lowercase-hex column.
+
+    NULL key parts are encoded as an explicit sentinel (U+0000) rather
+    than skipped — ``concat_ws`` alone would collapse ``('a', NULL)``,
+    ``(NULL, 'a')`` and ``('a',)`` onto the same draw, correlating
+    sampling decisions across distinct keys. For non-null keys the drawn
+    string is exactly ``salt|k1|k2|...``, which is what the SQL oracles
+    recompute."""
     cols = [
-        (F.col(c) if isinstance(c, str) else c).cast("string")
+        F.coalesce(
+            (F.col(c) if isinstance(c, str) else c).cast("string"),
+            F.lit("\u0000"),
+        )
         for c in key_cols
     ]
     return F.substring(

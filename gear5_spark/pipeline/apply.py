@@ -292,7 +292,9 @@ class TranscriptsApplier:
                 # idempotent per batch: the dead-letter write is OUTSIDE
                 # the atomic commit, so a crash-then-replay would append
                 # duplicates — overwrite into a batch_id subdir instead
-                batch.filter(_malformed_key()).write.mode("overwrite").parquet(
+                batch.filter(_malformed_key()).drop("_src_file").write.mode(
+                    "overwrite"
+                ).parquet(
                     os.path.join(self.quarantine_dir, f"batch_id={batch_id}")
                 )
             if n_keys == 0:
@@ -334,10 +336,24 @@ class TranscriptsApplier:
                     src_files = list(stats.get("src_files") or [])
                 with span("apply.partition_lineage"):
                     parts, truncated = _partition_lineage(src_files)
-                if parts:
+                # footer stats describe whole files; when the batch is a
+                # FILTERED view of its source files (lsn-bounded replay),
+                # per-file rows no longer reconcile with the batch — omit
+                # rather than record wrong provenance, and say why
+                reconciles = truncated > 0 or (
+                    bool(parts)
+                    and sum(p["rows"] for p in parts)
+                    == int(stats["event_count"])
+                )
+                if parts and reconciles:
                     lineage["partitions"] = parts
                     if truncated:
                         lineage["partitions_truncated"] = truncated
+                elif parts:
+                    lineage["partitions_note"] = (
+                        "source files are filtered by this batch; "
+                        "file-granular footer stats omitted"
+                    )
             affected = list(stats["buckets"] or [])
             if self.sink_mode == "mor":
                 from gear5_spark.lake.mor import compact, merge_delta

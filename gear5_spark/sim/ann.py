@@ -199,8 +199,9 @@ def ivf_centroids(
     into the assignment expression exactly like FAISS ships its coarse
     quantizer to every worker."""
     rows = (
-        emb.filter(F.col(id_col) < n_centroids)
-        .select(id_col, vec_col)
+        emb.select(id_col, vec_col)
+        .orderBy(F.col(id_col).asc())
+        .limit(n_centroids)
         .collect()
     )
     return sorted((r[0], [float(x) for x in r[1]]) for r in rows)
@@ -306,7 +307,7 @@ def ivf_cosine_topk(
     n_centroids of the corpus per query, the probe join is a (list_id)
     equi-join with the small query side broadcast, and the base table is
     never cross-joined. Recall is measured against the exact answer in
-    tests/test_recall.py, never assumed.
+    tests/test_sample_clusters.py, never assumed.
 
     ``centroids`` overrides the default min-id quantizer — pass
     :func:`kmeans_centroids` output for a data-adapted partitioning."""

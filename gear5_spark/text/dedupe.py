@@ -290,6 +290,9 @@ def connected_components(
                 .limit(1)
                 .count()
             )
+            # release the superseded checkpoint's storage promptly
+            # instead of waiting for the context cleaner
+            labels.unpersist()
             labels = new
             if changed == 0:
                 break

@@ -65,6 +65,23 @@ def test_partition_lineage_bulk_path(spark, tiny_changelog, tmp_path):
     assert sum(p["rows"] for p in parts) == entry["event_count"]
 
 
+def test_partition_lineage_omitted_for_filtered_batches(spark, tiny_changelog, tmp_path):
+    """An lsn-bounded replay filters its source files, so whole-file
+    footer stats no longer describe the batch — provenance is omitted
+    with an explanatory note, never recorded wrong."""
+    from gear5_spark.pipeline.runner import bootstrap_table, replay_batch
+
+    log_dir, manifest = tiny_changelog
+    table = bootstrap_table(spark, str(tmp_path / "t"), n_buckets=8)
+    replay_batch(
+        spark, log_dir, table, checkpoint_dir=str(tmp_path / "c"),
+        max_lsn=manifest["n_events"] // 2,
+    )
+    (entry,) = table._lineage_entries()
+    assert "partitions" not in entry
+    assert "filtered" in entry.get("partitions_note", "")
+
+
 def test_partition_lineage_absent_for_memory_batches(spark, tmp_path):
     from gear5_spark.pipeline.runner import bootstrap_table, make_applier
 

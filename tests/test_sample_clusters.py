@@ -53,6 +53,20 @@ def test_hash_sample_deterministic_and_nested(spark):
     assert s30c != s30a
 
 
+def test_hash_sample_null_and_multi_key_disambiguation(spark):
+    """NULL key parts are sentinel-encoded: ('a', NULL), (NULL, 'a')
+    and plain ('a',) must draw independently, not collapse."""
+    from gear5_spark.operators.sample import hash_draw
+
+    df = spark.createDataFrame(
+        [("a", None), (None, "a"), ("a", "a")], ["k1", "k2"]
+    )
+    draws = [r.d for r in df.select(hash_draw(["k1", "k2"]).alias("d")).collect()]
+    assert len(set(draws)) == 3
+    single = df.select(hash_draw(["k1"]).alias("d")).collect()
+    assert all(r.d is not None for r in single)
+
+
 def test_stratified_sample_mixing(spark):
     from gear5_spark.operators.sample import stratified_sample
 
