@@ -992,7 +992,7 @@ def oracle_sql() -> dict[str, str]:
             "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec "
             "FROM embeddings), "
             "c AS (SELECT vec_id AS cid, vec AS cvec FROM v "
-            "WHERE vec_id < 16), "
+            "ORDER BY vec_id LIMIT 16), "
             "ac AS (SELECT v.vec_id, c.cid, row_number() OVER ("
             "PARTITION BY v.vec_id ORDER BY "
             "list_cosine_similarity(v.vec, c.cvec) DESC, c.cid ASC) AS rn "
