@@ -5,7 +5,7 @@ change log into the lake table, returning the final state.
 
 ``queries()`` / ``oracle_sql()`` — one entry per operator from SURVEY.md §2
 plus the training-data-pipeline operators (dedup / similarity / text
-analysis / profiling / conversation analytics). 46 of 49 queries carry a
+analysis / profiling / conversation analytics). 47 of 50 queries carry a
 DuckDB oracle — including the full CDC replay, the incrementally-
 maintained rollup table, snapshot diff, payload type inference and the
 LSH-candidates-plus-exact-confirm dedup paths (oracle equality there
@@ -284,6 +284,14 @@ def _q_quality_score(spark, sf_dir):
     from gear5_spark.text.quality import quality_scores
 
     return quality_scores(_t(spark, sf_dir, "documents"))
+
+
+def _q_gopher_quality(spark, sf_dir):
+    # Gopher-rule document quality flags (public heuristic set), with
+    # per-rule signals so audits can see WHY a doc failed
+    from gear5_spark.text.quality import gopher_quality_flags
+
+    return gopher_quality_flags(_t(spark, sf_dir, "documents"))
 
 
 def _q_lang_id(spark, sf_dir):
@@ -774,6 +782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": _q_exact_dedup,
         "token_count": _q_token_count,
         "quality_score": _q_quality_score,
+        "gopher_quality": _q_gopher_quality,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
         "cosine_topk": _q_cosine_topk,
@@ -931,6 +940,30 @@ def oracle_sql() -> dict[str, str]:
             " AS mean_token_len, "
             f"round(len(list_filter(toks, x -> list_contains({_STOPWORDS_SQL}, x)))"
             " / len(toks), 6) AS stopword_ratio FROM t"
+        ),
+        "gopher_quality": (
+            "WITH t AS (SELECT doc_id, text, "
+            "string_split_regex(trim(lower(text)), '\\s+') AS toks "
+            "FROM documents), "
+            "s AS (SELECT doc_id, len(toks) AS n_words, "
+            "length(regexp_replace(text, '\\s+', '', 'g')) / len(toks) "
+            "AS mean_word_len, "
+            "(len(regexp_extract_all(text, '#')) + "
+            "len(regexp_extract_all(text, '\\.\\.\\.'))) / len(toks) "
+            "AS symbol_word_ratio, "
+            "len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) / "
+            "len(toks) AS alpha_word_ratio, "
+            f"len(list_intersect(list_distinct(toks), {_STOPWORDS_SQL})) "
+            "AS distinct_stopwords FROM t) "
+            "SELECT doc_id, n_words, "
+            "round(mean_word_len, 6) AS mean_word_len, "
+            "round(symbol_word_ratio, 6) AS symbol_word_ratio, "
+            "round(alpha_word_ratio, 6) AS alpha_word_ratio, "
+            "distinct_stopwords, "
+            "n_words >= 50 AND n_words <= 100000 "
+            "AND mean_word_len >= 3.0 AND mean_word_len <= 10.0 "
+            "AND symbol_word_ratio <= 0.1 AND alpha_word_ratio >= 0.8 "
+            "AND distinct_stopwords >= 2 AS passes_gopher FROM s"
         ),
         "lang_id": (
             "WITH t AS (SELECT doc_id, "

@@ -70,6 +70,54 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     )
 
 
+def gopher_quality_flags(
+    docs: DataFrame,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_ratio: float = 0.8,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, "Scaling
+    Language Models" appendix A): word-count window, mean word length
+    window, symbol-to-word ratio cap (# and ellipses), minimum fraction
+    of words containing an alphabetic character, and minimum distinct
+    stop-word count. Emits the per-rule signals plus the conjunction
+    ``passes_gopher`` so a pipeline can filter or audit rule-by-rule.
+    All JVM built-ins, zero shuffles; every expression has an exact
+    DuckDB equivalent (oracle ``gopher_quality``)."""
+    t = tokens(F.col("text"))
+    n = F.size(t)
+    stop_arr = F.array(*[F.lit(w) for w in _EN_STOPWORDS])
+    mean_len = F.length(F.regexp_replace("text", r"\s+", "")) / n
+    symbol_ratio = (
+        F.regexp_count(F.col("text"), F.lit("#"))
+        + F.regexp_count(F.col("text"), F.lit(r"\.\.\."))
+    ) / n
+    alpha_ratio = F.size(F.filter(t, lambda x: x.rlike("[a-z]"))) / n
+    n_stop = F.size(F.array_intersect(F.array_distinct(t), stop_arr))
+    passes = (
+        (n >= min_words)
+        & (n <= max_words)
+        & (mean_len >= min_mean_len)
+        & (mean_len <= max_mean_len)
+        & (symbol_ratio <= max_symbol_ratio)
+        & (alpha_ratio >= min_alpha_ratio)
+        & (n_stop >= min_stopwords)
+    )
+    return docs.select(
+        "doc_id",
+        n.alias("n_words"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_word_ratio"),
+        F.round(alpha_ratio, 6).alias("alpha_word_ratio"),
+        n_stop.alias("distinct_stopwords"),
+        passes.alias("passes_gopher"),
+    )
+
+
 def language_id(docs: DataFrame) -> DataFrame:
     """Marker-word language heuristic: the language with the most marker
     hits wins; ties and zero hits -> 'und'. Deterministic tie-break by

@@ -51,3 +51,24 @@ def test_pii_counts(spark):
     assert got[2]["phones"] == 1 and got[2]["ipv4s"] == 1 and got[2]["has_pii"]
     assert not got[3]["has_pii"]
     assert got[3]["emails"] == got[3]["phones"] == 0
+
+
+def test_gopher_quality_flags_rules(spark):
+    from gear5_spark.text.quality import gopher_quality_flags
+
+    good = ("the quick brown fox and the lazy dog ran over a hill to "
+            "find some water in it for the long hot day ahead " * 3)
+    rows = [
+        (1, good),                              # passes every rule
+        (2, "too short for the gate"),          # word-count floor
+        (3, "#### " * 60 + good),               # symbol ratio cap
+        (4, ("1 2 3 4 5 6 7 8 9 10 " * 10) + "the a of it in is and on"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in gopher_quality_flags(docs).collect()}
+    assert out[1].passes_gopher
+    assert not out[2].passes_gopher and out[2].n_words < 50
+    assert not out[3].passes_gopher and out[3].symbol_word_ratio > 0.1
+    # mostly-numeric doc fails the alphabetic-word floor
+    assert not out[4].passes_gopher and out[4].alpha_word_ratio < 0.8
+    assert out[1].distinct_stopwords >= 2
