@@ -307,6 +307,18 @@ def cmd_vacuum(args) -> int:
     return 0
 
 
+def cmd_fsck(args) -> int:
+    # metadata/footer IO only — no SparkSession needed (fast, runnable
+    # against a live table from any maintenance host)
+    from gear5_spark.lake.fsck import fsck
+    from gear5_spark.lake.table import LakeTable
+
+    table = LakeTable(None, args.table_dir)
+    report = fsck(table, deep=args.deep)
+    print(json.dumps({"type": "LOG", **report}))
+    return 0 if report["ok"] else 1
+
+
 def cmd_delete(args) -> int:
     from gear5_spark.lake.delete import delete_where
     from gear5_spark.lake.table import LakeTable
@@ -356,6 +368,10 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("rebucket")
     p.add_argument("--table-dir", required=True)
     p.add_argument("--n-buckets", type=int, required=True)
+    p = sub.add_parser("fsck")
+    p.add_argument("--table-dir", required=True)
+    p.add_argument("--deep", action="store_true",
+                   help="verify recorded row counts against parquet footers")
     p = sub.add_parser("vacuum")
     p.add_argument("--table-dir", required=True)
     p.add_argument("--retention-sec", type=float, default=3600.0)
@@ -375,6 +391,7 @@ def main(argv: list[str] | None = None) -> int:
         "state": cmd_state,
         "compact": cmd_compact,
         "rebucket": cmd_rebucket,
+        "fsck": cmd_fsck,
         "vacuum": cmd_vacuum,
         "expire": cmd_expire,
         "delete": cmd_delete,
