@@ -5,7 +5,7 @@ change log into the lake table, returning the final state.
 
 ``queries()`` / ``oracle_sql()`` — one entry per operator from SURVEY.md §2
 plus the training-data-pipeline operators (dedup / similarity / text
-analysis / profiling / conversation analytics). 47 of 50 queries carry a
+analysis / profiling / conversation analytics). 48 of 51 queries carry a
 DuckDB oracle — including the full CDC replay, the incrementally-
 maintained rollup table, snapshot diff, payload type inference and the
 LSH-candidates-plus-exact-confirm dedup paths (oracle equality there
@@ -442,6 +442,20 @@ def _q_corpus_curation(spark, sf_dir):
     )
 
 
+def _q_decontamination(spark, sf_dir):
+    # benchmark decontamination: training docs (doc_id >= 20) sharing
+    # any word 5-gram with the "eval" slice (doc_id < 20); the eval
+    # n-gram set broadcasts, the corpus streams — no corpus shuffle
+    from gear5_spark.text.curate import ngram_contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_contamination(
+        docs.filter(F.col("doc_id") >= 20),
+        docs.filter(F.col("doc_id") < 20),
+        shingle_n=5,
+    )
+
+
 def _q_stratified_sample(spark, sf_dir):
     # deterministic hash-threshold sampling (domain mixing): decisions
     # are a pure function of (salt, key) — layout/retry-stable, nested
@@ -798,6 +812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "stratified_sample": _q_stratified_sample,
         "corpus_curation": _q_corpus_curation,
+        "decontamination": _q_decontamination,
         "cdc_replay": _q_cdc_replay,
         "payload_inference": _q_payload_inference,
         "snapshot_diff": _q_snapshot_diff,
@@ -1057,6 +1072,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, cluster_id, "
             "count(*) OVER (PARTITION BY cluster_id) AS cluster_size, "
             "doc_id = cluster_id AS is_canonical FROM m"
+        ),
+        "decontamination": (
+            "WITH t AS (SELECT doc_id, "
+            "string_split_regex(trim(lower(text)), '\\s+') AS toks "
+            "FROM documents), "
+            "s AS (SELECT doc_id, list_distinct(list_transform("
+            "generate_series(1, greatest(len(toks) - 4, 1)), "
+            "i -> array_to_string(toks[i:i+4], ' '))) AS sh FROM t), "
+            "ev AS (SELECT DISTINCT unnest(sh) AS g FROM s "
+            "WHERE doc_id < 20), "
+            "tg AS (SELECT doc_id, unnest(sh) AS g FROM s "
+            "WHERE doc_id >= 20), "
+            "hits AS (SELECT doc_id, count(*) AS contaminated_ngrams "
+            "FROM tg JOIN ev USING (g) GROUP BY doc_id) "
+            "SELECT d.doc_id, "
+            "coalesce(h.contaminated_ngrams, 0) AS contaminated_ngrams, "
+            "h.doc_id IS NOT NULL AS is_contaminated "
+            "FROM (SELECT doc_id FROM documents WHERE doc_id >= 20) d "
+            "LEFT JOIN hits h ON d.doc_id = h.doc_id"
         ),
         "corpus_curation": (
             "WITH RECURSIVE j AS (SELECT doc_id_a, doc_id_b FROM ("

@@ -33,6 +33,51 @@ from gear5_spark.text.dedupe import dedup_clusters
 from gear5_spark.text.quality import tokens
 
 
+def ngram_contamination(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word ``shingle_n``-gram with an evaluation corpus (the standard
+    n-gram-collision test-set leakage check).
+
+    Scale shape: the eval side (benchmarks — thousands of docs, not
+    billions) collapses to a DISTINCT n-gram set and BROADCASTS; the
+    training corpus streams through one explode + broadcast-hash
+    semi-join + partial-aggregated count. No shuffle of the corpus.
+
+    Output per training doc: ``contaminated_ngrams`` (distinct shared
+    n-grams) and ``is_contaminated``."""
+    from gear5_spark.text.dedupe import shingles
+
+    ev = (
+        eval_docs.select(
+            F.explode(shingles(F.col("text"), shingle_n)).alias("g")
+        )
+        .distinct()
+    )
+    doc_grams = docs.select(
+        "doc_id", F.explode(shingles(F.col("text"), shingle_n)).alias("g")
+    )
+    hits = (
+        doc_grams.join(F.broadcast(ev), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("contaminated_ngrams"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("contaminated_ngrams", F.lit(0)).alias(
+                "contaminated_ngrams"
+            ),
+            F.col("contaminated_ngrams").isNotNull().alias("is_contaminated"),
+        )
+    )
+
+
 def curate_corpus(
     docs: DataFrame,
     min_tokens: int = 30,

@@ -72,3 +72,18 @@ def test_gopher_quality_flags_rules(spark):
     # mostly-numeric doc fails the alphabetic-word floor
     assert not out[4].passes_gopher and out[4].alpha_word_ratio < 0.8
     assert out[1].distinct_stopwords >= 2
+
+
+def test_ngram_contamination(spark):
+    from gear5_spark.text.curate import ngram_contamination
+
+    leak = "the exact secret benchmark answer sequence appears here today"
+    rows = [
+        (1, "clean document with its own completely original words only"),
+        (2, "prefix words then " + leak + " then suffix words follow"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    ev = spark.createDataFrame([(100, "question: " + leak)], ["doc_id", "text"])
+    out = {r.doc_id: r for r in ngram_contamination(docs, ev, shingle_n=5).collect()}
+    assert not out[1].is_contaminated and out[1].contaminated_ngrams == 0
+    assert out[2].is_contaminated and out[2].contaminated_ngrams >= 1
