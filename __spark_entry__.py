@@ -5,7 +5,7 @@ change log into the lake table, returning the final state.
 
 ``queries()`` / ``oracle_sql()`` — one entry per operator from SURVEY.md §2
 plus the training-data-pipeline operators (dedup / similarity / text
-analysis / profiling / conversation analytics). 48 of 51 queries carry a
+analysis / profiling / conversation analytics). 49 of 52 queries carry a
 DuckDB oracle — including the full CDC replay, the incrementally-
 maintained rollup table, snapshot diff, payload type inference and the
 LSH-candidates-plus-exact-confirm dedup paths (oracle equality there
@@ -456,6 +456,17 @@ def _q_decontamination(spark, sf_dir):
     )
 
 
+def _q_sequence_packing(spark, sf_dir):
+    # deterministic context-window packing: per-shard token cumsum maps
+    # every doc to (pack_idx, offset) — window partitioned by shard so
+    # packing parallelizes instead of serializing on one global order
+    from gear5_spark.text.curate import pack_sequences
+
+    return pack_sequences(
+        _t(spark, sf_dir, "documents"), budget_tokens=2048, n_shards=32
+    )
+
+
 def _q_stratified_sample(spark, sf_dir):
     # deterministic hash-threshold sampling (domain mixing): decisions
     # are a pure function of (salt, key) — layout/retry-stable, nested
@@ -813,6 +824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "corpus_curation": _q_corpus_curation,
         "decontamination": _q_decontamination,
+        "sequence_packing": _q_sequence_packing,
         "cdc_replay": _q_cdc_replay,
         "payload_inference": _q_payload_inference,
         "snapshot_diff": _q_snapshot_diff,
@@ -1072,6 +1084,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, cluster_id, "
             "count(*) OVER (PARTITION BY cluster_id) AS cluster_size, "
             "doc_id = cluster_id AS is_canonical FROM m"
+        ),
+        "sequence_packing": (
+            "WITH t AS (SELECT doc_id, doc_id % 32 AS shard, "
+            "len(string_split_regex(trim(lower(text)), '\\s+')) AS n_tokens "
+            "FROM documents), "
+            "c AS (SELECT doc_id, shard, n_tokens, "
+            "sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id "
+            "ROWS UNBOUNDED PRECEDING) - n_tokens AS before "
+            "FROM t) "
+            "SELECT doc_id, CAST(shard AS INT) AS shard, n_tokens, "
+            "before // 2048 AS pack_idx, "
+            "before % 2048 AS offset_tokens FROM c"
         ),
         "decontamination": (
             "WITH t AS (SELECT doc_id, "

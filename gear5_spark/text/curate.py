@@ -78,6 +78,51 @@ def ngram_contamination(
     )
 
 
+def pack_sequences(
+    docs: DataFrame,
+    budget_tokens: int = 2048,
+    n_shards: int = 32,
+) -> DataFrame:
+    """Deterministic sequence packing: assign each document a (shard,
+    pack_idx, offset) so downstream training can concatenate documents
+    into fixed ``budget_tokens`` context windows without a global sort.
+
+    The corpus is hash-sharded (``doc_id % n_shards``) and packed
+    independently per shard with a running token cumsum — the window is
+    partitioned, so packing parallelizes across shards instead of
+    serializing on one global ordering (the scale fix for the naive
+    single-window formulation). Within a shard, a document starts at
+    ``offset_tokens = cumsum_before % budget`` of pack
+    ``pack_idx = cumsum_before // budget``; documents longer than the
+    remaining window spill into the next pack (the tokenizer-side
+    writer handles the split). Fully deterministic — pure arithmetic on
+    (doc_id, token count)."""
+    from pyspark.sql import Window as W
+
+    from gear5_spark.text.quality import tokens
+
+    n_tok = F.size(tokens(F.col("text")))
+    shard = F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int")
+    w = (
+        W.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    with_cum = docs.select(
+        "doc_id", shard.alias("shard"), n_tok.alias("n_tokens")
+    ).withColumn("cum_after", F.sum("n_tokens").over(w))
+    before = F.col("cum_after") - F.col("n_tokens")
+    return with_cum.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        (before / budget_tokens).cast("long").alias("pack_idx"),
+        F.pmod(before, F.lit(budget_tokens)).cast("long").alias(
+            "offset_tokens"
+        ),
+    )
+
+
 def curate_corpus(
     docs: DataFrame,
     min_tokens: int = 30,

@@ -87,3 +87,29 @@ def test_ngram_contamination(spark):
     out = {r.doc_id: r for r in ngram_contamination(docs, ev, shingle_n=5).collect()}
     assert not out[1].is_contaminated and out[1].contaminated_ngrams == 0
     assert out[2].is_contaminated and out[2].contaminated_ngrams >= 1
+
+
+def test_pack_sequences_invariants(spark):
+    import pyspark.sql.functions as F
+    from gear5_spark.text.curate import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, "w " * (10 + i % 7)) for i in range(200)], ["doc_id", "text"]
+    )
+    out = pack_sequences(docs, budget_tokens=64, n_shards=4).cache()
+    rows = out.collect()
+    assert len(rows) == 200
+    by_shard = {}
+    for r in sorted(rows, key=lambda r: (r.shard, r.doc_id)):
+        # offsets advance by exactly n_tokens within a shard (mod budget)
+        cum = by_shard.get(r.shard, 0)
+        assert r.pack_idx == cum // 64 and r.offset_tokens == cum % 64
+        by_shard[r.shard] = cum + r.n_tokens
+    # deterministic under repartitioning
+    again = {
+        (r.doc_id, r.pack_idx, r.offset_tokens)
+        for r in pack_sequences(
+            docs.repartition(13), budget_tokens=64, n_shards=4
+        ).collect()
+    }
+    assert again == {(r.doc_id, r.pack_idx, r.offset_tokens) for r in rows}
