@@ -268,6 +268,9 @@ def main() -> None:
         "ivf_cosine_topk",
         "dedup_clusters",
         "stratified_sample",
+        "gopher_quality",
+        "decontamination",
+        "sequence_packing",
     ]
     qs = entrymod.queries()
     for name in bench_queries:
