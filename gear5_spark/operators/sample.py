@@ -49,16 +49,26 @@ def threshold_hex(fraction: float) -> str:
 def hash_draw(key_cols: list[str | Column], salt: str = "gear5") -> Column:
     """The 60-bit uniform draw as a 15-char lowercase-hex column.
 
-    NULL key parts are encoded as an explicit sentinel (U+0000) rather
-    than skipped — ``concat_ws`` alone would collapse ``('a', NULL)``,
-    ``(NULL, 'a')`` and ``('a',)`` onto the same draw, correlating
-    sampling decisions across distinct keys. For non-null keys the drawn
-    string is exactly ``salt|k1|k2|...``, which is what the SQL oracles
-    recompute."""
+    Key parts are escaped (backslash doubled, ``|`` -> ``\\|``) before
+    the ``|`` join, so delimiter injection cannot collide distinct keys
+    (``('a|b','c')`` vs ``('a','b|c')``); a NULL part becomes a lone
+    backslash — a string no escaped value can produce — so
+    ``('a', NULL)``, ``(NULL, 'a')`` and ``('a',)`` all draw
+    independently. For keys without ``|`` or backslash characters (ids,
+    enum strata — the normal case) the drawn string is exactly
+    ``salt|k1|k2|...``, which is what the SQL oracles recompute."""
     cols = [
         F.coalesce(
-            (F.col(c) if isinstance(c, str) else c).cast("string"),
-            F.lit("\u0000"),
+            F.replace(
+                F.replace(
+                    (F.col(c) if isinstance(c, str) else c).cast("string"),
+                    F.lit("\\"),
+                    F.lit("\\\\"),
+                ),
+                F.lit("|"),
+                F.lit("\\|"),
+            ),
+            F.lit("\\"),
         )
         for c in key_cols
     ]

@@ -335,22 +335,21 @@ class TranscriptsApplier:
                 if collect_provenance:
                     src_files = list(stats.get("src_files") or [])
                 with span("apply.partition_lineage"):
-                    parts, truncated = _partition_lineage(src_files)
-                # footer stats describe whole files; when the batch is a
-                # FILTERED view of its source files (lsn-bounded replay),
-                # per-file rows no longer reconcile with the batch — omit
-                # rather than record wrong provenance, and say why
-                reconciles = truncated > 0 or (
-                    bool(parts)
-                    and sum(p["rows"] for p in parts)
-                    == int(stats["event_count"])
-                )
-                if parts and reconciles:
-                    lineage["partitions"] = parts
-                    if truncated:
-                        lineage["partitions_truncated"] = truncated
-                elif parts:
-                    lineage["partitions_note"] = (
+                    prov = _partition_lineage(src_files)
+                # footer stats describe whole files; only record them
+                # when EVERY source footer was read and their row total
+                # reconciles with the batch (a filtered batch, e.g. an
+                # lsn-bounded replay, must not get whole-file stats) —
+                # otherwise say why nothing was recorded
+                if prov.note is None and prov.total_rows == int(
+                    stats["event_count"]
+                ):
+                    if prov.recorded:
+                        lineage["partitions"] = prov.recorded
+                        if prov.truncated:
+                            lineage["partitions_truncated"] = prov.truncated
+                elif src_files:
+                    lineage["partitions_note"] = prov.note or (
                         "source files are filtered by this batch; "
                         "file-granular footer stats omitted"
                     )
@@ -400,27 +399,50 @@ def _malformed_key():
     return F.col("conv_id").isNull() | F.col("turn_idx").isNull()
 
 
-_PARTITION_LINEAGE_CAP = 128
+_PARTITION_RECORD_CAP = 128  # entries stored in the manifest
+_PARTITION_READ_CAP = 4096  # footers opened for reconciliation
+
+
+@dataclass
+class _Provenance:
+    recorded: list[dict] = field(default_factory=list)
+    truncated: int = 0  # readable files beyond the record cap
+    total_rows: int = -1  # sum over ALL readable footers (-1 = unusable)
+    note: str | None = None  # why nothing can be recorded
 
 
 def _partition_lineage(
-    src_files: list[str], cap: int = _PARTITION_LINEAGE_CAP
-) -> tuple[list[dict], int]:
-    """Per-source-partition lineage rows for a micro-batch: one entry
-    per input file with its row count and lsn offset range, read from
-    the parquet FOOTER (row-group statistics) — O(files) driver-side
+    src_files: list[str],
+    record_cap: int = _PARTITION_RECORD_CAP,
+    read_cap: int = _PARTITION_READ_CAP,
+) -> _Provenance:
+    """Per-source-partition lineage for a micro-batch: one entry per
+    input file with its row count and lsn offset range, read from the
+    parquet FOOTER (row-group statistics) — O(files) driver-side
     metadata reads, bounded by ``maxFilesPerTrigger``, no data scanned.
 
     ``src_files`` is the batch's ``DataFrame.inputFiles()`` — resolved
-    from the plan's file index, no job. Batches without file
-    provenance (in-memory DataFrames) yield no entries. Files beyond
-    ``cap`` are summarized by the returned truncation count — never
-    silently dropped (the batch-level lsn range still covers them)."""
+    from the plan's file index, no job. EVERY footer (up to
+    ``read_cap``) is read so the caller can reconcile the file-row
+    total against the batch's event count; only the first
+    ``record_cap`` entries are stored, with the overflow surfaced as a
+    truncation count. Unreadable files (non-local URIs, moved files)
+    and batches beyond ``read_cap`` poison reconciliation, so the
+    caller records an explanatory note instead of wrong stats — caps
+    and failures are never silent."""
     import pyarrow.parquet as pq
 
     names = sorted(f for f in src_files if f)
-    parts: list[dict] = []
-    for uri in names[:cap]:
+    if not names:
+        return _Provenance()
+    if len(names) > read_cap:
+        return _Provenance(
+            note=f"{len(names)} source files exceed the {read_cap}-footer "
+            "read cap; partition lineage skipped"
+        )
+    prov = _Provenance(total_rows=0)
+    unreadable = 0
+    for uri in names:
         path = uri
         if path.startswith("file:"):
             from urllib.parse import unquote, urlparse
@@ -429,7 +451,12 @@ def _partition_lineage(
         try:
             md = pq.ParquetFile(path).metadata
         except Exception:
-            continue  # file moved/non-local — batch-level stats cover it
+            unreadable += 1
+            continue
+        prov.total_rows += int(md.num_rows)
+        if len(prov.recorded) >= record_cap:
+            prov.truncated += 1
+            continue
         entry: dict = {
             "path": os.path.basename(path),
             "rows": int(md.num_rows),
@@ -450,5 +477,11 @@ def _partition_lineage(
             if lo is not None:
                 entry["lsn_min"] = int(lo)
                 entry["lsn_max"] = int(hi)
-        parts.append(entry)
-    return parts, max(0, len(names) - cap)
+        prov.recorded.append(entry)
+    if unreadable:
+        prov.total_rows = -1
+        prov.note = (
+            f"{unreadable} of {len(names)} source footers unreadable "
+            "(non-local or moved); partition lineage omitted"
+        )
+    return prov

@@ -99,8 +99,6 @@ def pack_sequences(
     (doc_id, token count)."""
     from pyspark.sql import Window as W
 
-    from gear5_spark.text.quality import tokens
-
     n_tok = F.size(tokens(F.col("text")))
     shard = F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int")
     w = (

@@ -85,3 +85,44 @@ def test_fsck_cli_no_spark(spark, tiny_changelog, tmp_path, capsys):
     rc = main(["fsck", "--table-dir", table.table_dir])
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 1 and not out["ok"]
+
+
+def test_fsck_deep_reports_corrupt_not_crash(spark, tiny_changelog, tmp_path):
+    from gear5_spark.lake.fsck import fsck
+
+    table = _small_table(spark, tiny_changelog, tmp_path)
+    victim = os.path.join(table.table_dir, table.snapshot().files[0]["path"])
+    with open(victim, "wb") as fh:
+        fh.write(b"not a parquet file at all")
+    report = fsck(table, deep=True)
+    assert not report["ok"]
+    assert any(
+        c["path"] == table.snapshot().files[0]["path"]
+        for c in report["corrupt_files"]
+    )
+
+
+def test_fsck_detects_missing_historical_file(spark, tiny_changelog, tmp_path):
+    from gear5_spark.lake.fsck import fsck
+    from gear5_spark.pipeline.runner import replay_batch
+
+    log_dir, manifest = tiny_changelog
+    table = _small_table(spark, tiny_changelog, tmp_path)
+    v1_paths = {f["path"] for f in table.snapshot().files}
+    # second commit rewrites buckets -> some v1 files become history-only
+    replay_batch(
+        spark, log_dir, table, checkpoint_dir=str(tmp_path / "c2"),
+        app_id="second-app",
+    )
+    hist_only = sorted(
+        v1_paths - {f["path"] for f in table.snapshot().files}
+    )
+    assert hist_only, "expected rewritten files"
+    os.remove(os.path.join(table.table_dir, hist_only[0]))
+    report = fsck(table)
+    assert not report["ok"]
+    assert report["missing_files"] == []
+    assert any(
+        m["path"] == hist_only[0]
+        for m in report["missing_historical_files"]
+    )

@@ -100,3 +100,33 @@ def test_partition_lineage_absent_for_memory_batches(spark, tmp_path):
     (entry,) = table._lineage_entries()
     assert "partitions" not in entry  # no file provenance -> no rows
     assert table.partition_lineage_df().count() == 0
+
+
+def test_partition_lineage_caps_and_unreadable(tmp_path):
+    """Pure-metadata unit behavior: record cap vs read cap vs
+    unreadable files — caps surface, failures poison reconciliation."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gear5_spark.pipeline.apply import _partition_lineage
+
+    files = []
+    for i in range(3):
+        p = str(tmp_path / f"f{i}.parquet")
+        pq.write_table(pa.table({"lsn": [i * 10, i * 10 + 1]}), p)
+        files.append(p)
+
+    prov = _partition_lineage(files, record_cap=2, read_cap=10)
+    assert len(prov.recorded) == 2 and prov.truncated == 1
+    assert prov.total_rows == 6  # ALL footers read for reconciliation
+    assert prov.note is None
+
+    prov = _partition_lineage(files, record_cap=2, read_cap=2)
+    assert prov.note and "read cap" in prov.note and not prov.recorded
+
+    bad = str(tmp_path / "bad.parquet")
+    with open(bad, "wb") as fh:
+        fh.write(b"garbage")
+    prov = _partition_lineage(files + [bad], record_cap=10, read_cap=10)
+    assert prov.total_rows == -1
+    assert prov.note and "unreadable" in prov.note

@@ -300,3 +300,16 @@ def test_ivf_recall_measured(emb):
     # must still recover the bulk of true neighbors
     assert recall >= 0.5
     assert len(approx) <= len(exact)  # candidates only shrink the answer
+
+
+def test_hash_draw_delimiter_injection(spark):
+    """Escaping makes the joined key string unambiguous: pipe/backslash
+    content cannot realign part boundaries."""
+    from gear5_spark.operators.sample import hash_draw
+
+    df = spark.createDataFrame(
+        [("a|b", "c"), ("a", "b|c"), ("a", "b\\c"), ("a\\", "bc"), ("\\", None)],
+        ["k1", "k2"],
+    )
+    draws = [r.d for r in df.select(hash_draw(["k1", "k2"]).alias("d")).collect()]
+    assert len(set(draws)) == len(draws)
