@@ -27,7 +27,8 @@ sequence — tested end-to-end in ``tests/test_delete_where.py``:
 1. ``delete_where(...)`` — rows leave the current snapshot;
 2. ``table.rewrite_manifests()`` — dead manifest entries (whose min/max
    stats can carry deleted key values) leave the metadata;
-3. ``table.expire_snapshots(keep_last=1)`` — prior snapshots and their
+3. ``table.expire_snapshots(keep_last=1, manifest_retention_sec=0)``
+   (writer stopped, so no in-flight grace needed) — prior snapshots and their
    manifests are dropped;
 4. ``table.vacuum(...)`` — the old data files (whole orphan commit dirs
    AND per-file orphans inside live dirs) are deleted from disk.
@@ -93,11 +94,12 @@ def delete_where(
     remaining = table._read_files(snap, in_scope, with_internal=True).filter(
         ~is_hit
     )
-    _, entries = table.write_data_files(remaining)
+    _, entries = table.write_data_files(remaining, snap=snap)
     new_snap = table.commit(
         files=out_scope + entries,
         txn_app_id=txn_app_id,
         txn_batch_id=txn_batch_id,
+        basis=snap,
         lineage={
             "batch_id": txn_batch_id,
             "event_count": -n_deleted,  # negative = rows removed

@@ -16,10 +16,15 @@ Two physical paths over the same keyed join shuffle:
 
 - ``order_guard=True`` (default): full-outer join with an LSN guard —
   a batch row only wins if its ``_cdc_lsn`` >= the stored row's. This
-  makes apply *order-insensitive across micro-batches* (replays and
-  reordered batches can never regress a row), strictly stronger than the
-  reference's reliance on serial WAL order
-  (``pkg/waljs/waljs.go:332-348``).
+  makes apply *order-insensitive across micro-batches* for live rows
+  (replays and reordered batches can never regress a row), strictly
+  stronger than the reference's reliance on serial WAL order
+  (``pkg/waljs/waljs.go:332-348``). Caveat: with ``delete_mode='hard'``
+  the delete also removes the key's LSN watermark, so a REORDERED older
+  update arriving after the delete re-inserts the row — full
+  order-insensitivity across deletes needs ``delete_mode='soft'``
+  (tombstones keep the watermark). The engine's own feeds deliver
+  batches in checkpoint order, where hard deletes are safe.
 - ``order_guard=False``: anti-join + union — cheapest plan for bulk
   replay where the batch is known to contain the globally-latest event
   per key.
@@ -143,13 +148,9 @@ def merge_into(
             keyed if delete_mode == "soft"
             else keyed.filter(F.col(op_col) != "delete")
         )
-        write_schema_only = T.StructType(
-            list(evolved.fields)
-            + [T.StructField(BUCKET_COL, T.IntegerType(), True)]
-        )
-        new_data = _project(upserts, write_schema_only)
+        new_data = _project(upserts, write_schema)
         try:
-            _, new_entries = table.write_data_files(new_data)
+            _, new_entries = table.write_data_files(new_data, snap=snap)
         finally:
             if affected_buckets is None:
                 keyed.unpersist()
@@ -159,6 +160,7 @@ def merge_into(
             txn_app_id=txn_app_id,
             txn_batch_id=txn_batch_id,
             lineage=lineage,
+            basis=snap,
         )
         return new_snap, MergeStats(
             affected_buckets=affected,
@@ -188,7 +190,7 @@ def merge_into(
         )
 
     try:
-        _, new_entries = table.write_data_files(new_data)
+        _, new_entries = table.write_data_files(new_data, snap=snap)
     finally:
         if affected_buckets is None:
             keyed.unpersist()
@@ -199,6 +201,7 @@ def merge_into(
         txn_app_id=txn_app_id,
         txn_batch_id=txn_batch_id,
         lineage=lineage,
+        basis=snap,
     )
     return new_snap, MergeStats(
         affected_buckets=affected,

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from gear5_spark.lake.merge import _FEED_META
 from gear5_spark.lake.table import BUCKET_COL, CDC_LSN, LakeTable, Snapshot
 from gear5_spark.operators.typing import merge_schemas
 
@@ -40,7 +41,6 @@ def merge_delta(
     txn_app_id: str | None = None,
     txn_batch_id: int | None = None,
     lineage: dict[str, Any] | None = None,
-    affected_buckets: list[int] | None = None,
 ) -> Snapshot:
     """Append the deduped batch as delta files; no base rewrite.
 
@@ -53,7 +53,7 @@ def merge_delta(
         for f in batch.schema.fields
         if f.name not in data_col_names
         and f.name not in (op_col, OP_COL, BUCKET_COL)
-        and f.name not in ("lsn", "txn_id", "txn_seq", "ts_ms")
+        and f.name not in _FEED_META
     ]
     # additive-only like the CoW path: widening would break base files
     # that reconstruct() still reads (see lake/merge.py)
@@ -76,7 +76,7 @@ def merge_delta(
     delta = keyed.select(
         *cols, F.col(op_col).alias(OP_COL), F.col(BUCKET_COL)
     )
-    _, entries = table.write_data_files(delta)
+    _, entries = table.write_data_files(delta, snap=snap)
     for e in entries:
         e["kind"] = "delta"
     return table.commit(
@@ -85,6 +85,7 @@ def merge_delta(
         txn_app_id=txn_app_id,
         txn_batch_id=txn_batch_id,
         lineage=lineage,
+        basis=snap,
     )
 
 
@@ -113,9 +114,20 @@ def reconstruct(
     else:
         paths = [os.path.join(table.table_dir, f["path"]) for f in files]
         df = table.spark.read.schema(read_schema).parquet(*paths)
+    # ordering mirrors the CoW guard (merge.py): an unparseable LSN on a
+    # DELTA row wins (CoW: batch wins when its LSN is unparseable), an
+    # unparseable LSN on a BASE row loses (CoW: batch wins when the
+    # stored LSN is unparseable), ties prefer delta. Among multiple
+    # unparseable-LSN deltas the pick is arbitrary — unreachable from
+    # the engine's own feed, whose normalize types lsn numerically.
+    is_delta = F.col(OP_COL).isNotNull()
+    lsn_num = F.col(CDC_LSN).try_cast("long")
     ord_expr = F.struct(
-        F.coalesce(F.col(CDC_LSN).try_cast("long"), F.lit(-1)).alias("o1"),
-        F.when(F.col(OP_COL).isNotNull(), 1).otherwise(0).alias("o2"),
+        F.when(is_delta & lsn_num.isNull() & F.col(CDC_LSN).isNotNull(), 1)
+        .otherwise(0)
+        .alias("o0"),
+        F.coalesce(lsn_num, F.lit(-1)).alias("o1"),
+        F.when(is_delta, 1).otherwise(0).alias("o2"),
     )
     payload_cols = [c for c in df.columns if c not in key_cols]
     winner = df.groupBy(*key_cols).agg(
@@ -162,10 +174,11 @@ def compact(
     in_scope = [f for f in snap.files if f["bucket"] in target]
     out_scope = [f for f in snap.files if f["bucket"] not in target]
     merged = reconstruct(table, snap, in_scope, with_internal=True)
-    _, entries = table.write_data_files(merged)
+    _, entries = table.write_data_files(merged, snap=snap)
     return table.commit(
         files=out_scope + entries,
         txn_app_id=txn_app_id,
         txn_batch_id=txn_batch_id,
         lineage=lineage,
+        basis=snap,
     )

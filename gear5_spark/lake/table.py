@@ -467,6 +467,12 @@ class LakeTable:
         tmp = final + f".{uuid.uuid4().hex}.tmp"
         with open(tmp, "w") as fh:
             fh.write(snap.to_json())
+            # durability before visibility: without the fsync a power
+            # loss after the link can journal the filename while leaving
+            # the content pages unwritten — a torn current snapshot that
+            # bricks every subsequent read
+            fh.flush()
+            os.fsync(fh.fileno())
         try:
             os.link(tmp, final)  # atomic create-if-absent on POSIX
         except FileExistsError as e:
@@ -475,6 +481,11 @@ class LakeTable:
             ) from e
         finally:
             os.unlink(tmp)
+        dfd = os.open(os.path.dirname(final), os.O_RDONLY)
+        try:
+            os.fsync(dfd)  # persist the directory entry itself
+        finally:
+            os.close(dfd)
 
     def _identity_partition_expr(self, n_buckets: int):
         """An int expression whose hash-partition slot == the bucket id.
@@ -507,6 +518,7 @@ class LakeTable:
         df: DataFrame,
         commit_token: str | None = None,
         n_buckets: int | None = None,
+        snap: Snapshot | None = None,
     ) -> tuple[str, list[dict[str, Any]]]:
         """Write ``df`` (must carry ``_bucket``) as immutable data files.
 
@@ -525,7 +537,9 @@ class LakeTable:
         commit = commit_token or f"c-{uuid.uuid4().hex}"
         rel_dir = os.path.join(DATA_DIR, commit)
         out_dir = os.path.join(self.table_dir, rel_dir)
-        snap = self.snapshot()
+        # caller's basis snapshot keeps sort/stats config consistent with
+        # the commit it computed (and skips a metadata re-read per batch)
+        snap = snap or self.snapshot()
         props = snap.properties
         n_buckets = n_buckets or props.get("n_buckets", 16)
         part = df.repartition(
@@ -648,6 +662,8 @@ class LakeTable:
             )
             with open(os.path.join(self.table_dir, rel), "w") as fh:
                 json.dump({"files": new_entries}, fh, separators=(",", ":"))
+                fh.flush()
+                os.fsync(fh.fileno())  # referenced by the published snapshot
             m_list.append(
                 {
                     "path": rel,
@@ -664,14 +680,23 @@ class LakeTable:
         txn_batch_id: int | None = None,
         lineage: dict[str, Any] | None = None,
         properties: dict[str, Any] | None = None,
+        basis: Snapshot | None = None,
     ) -> Snapshot:
         """Publish a new snapshot pointing at ``files`` (the FULL file
-        set — internally diffed into per-commit manifests)."""
+        set — internally diffed into per-commit manifests).
+
+        ``basis`` is the snapshot the caller computed ``files`` against.
+        Pass it whenever the computation ran a Spark job: a commit that
+        landed meanwhile does NOT collide on the version number, so
+        without the basis the stale file list would silently drop the
+        intervening commit's files — with it, the delta is rebased (or
+        a real same-file conflict raises)."""
         from gear5_spark.perf import span
 
         with span("table.commit"):
             return self._commit(
-                files, schema, txn_app_id, txn_batch_id, lineage, properties
+                files, schema, txn_app_id, txn_batch_id, lineage,
+                properties, basis,
             )
 
     # how many times a commit that loses the publish race rebases onto
@@ -686,34 +711,46 @@ class LakeTable:
         txn_batch_id: int | None,
         lineage: dict[str, Any] | None,
         properties: dict[str, Any] | None = None,
+        basis: Snapshot | None = None,
     ) -> Snapshot:
         """Optimistic concurrency: attempt the commit against the current
-        snapshot; when another writer wins the version race, rebase this
-        commit's file delta onto the winner (Iceberg-style validation —
-        every file this commit logically removed must still be live in
-        the winner, else the two commits rewrote the same data and the
-        race is a REAL conflict) and retry. Disjoint-bucket writers and
-        pure appenders (MoR deltas) therefore both make progress without
-        coordination; conflicting rewrites of the same files raise."""
-        parent = self.snapshot()
+        snapshot; when the current snapshot has moved past the caller's
+        ``basis`` (either before the attempt, or via losing the publish
+        race), rebase this commit's file delta onto the winner
+        (Iceberg-style validation — every file this commit logically
+        removed must still be live in the winner, else the two commits
+        rewrote the same data and the race is a REAL conflict) and
+        retry. Disjoint-bucket writers and pure appenders (MoR deltas)
+        therefore both make progress without coordination; conflicting
+        rewrites of the same files raise, and a property-changing commit
+        (rebucket) never rebases — its file layout depends on the
+        properties, so a race forces a recompute."""
+        base = basis if basis is not None else self.snapshot()
         for _attempt in range(self.COMMIT_RETRIES + 1):
+            current = self.snapshot()
+            if current.version != base.version:
+                if properties is not None and properties != current.properties:
+                    raise ConcurrentCommitError(
+                        "property-changing commit raced with another "
+                        "writer — recompute against the current layout"
+                    )
+                files = self._rebase_files(base, files, current)
+                if schema is not None:
+                    from gear5_spark.operators.typing import merge_schemas
+
+                    schema, _ = merge_schemas(
+                        current.schema, schema, allow_widen=False
+                    )
+                base = current
             try:
                 return self._commit_once(
-                    parent, files, schema, txn_app_id, txn_batch_id,
+                    base, files, schema, txn_app_id, txn_batch_id,
                     lineage, properties,
                 )
             except CommitRaceLost:
                 if _attempt == self.COMMIT_RETRIES:
                     raise
-                winner = self.snapshot()
-                files = self._rebase_files(parent, files, winner)
-                if schema is not None:
-                    from gear5_spark.operators.typing import merge_schemas
-
-                    schema, _ = merge_schemas(
-                        winner.schema, schema, allow_widen=False
-                    )
-                parent = winner
+                # loop: re-read current, rebase, retry
         raise AssertionError("unreachable")  # pragma: no cover
 
     def _rebase_files(
@@ -936,6 +973,7 @@ class LakeTable:
         self,
         keep_last: int = 1,
         older_than_ms: int | None = None,
+        manifest_retention_sec: float = 3600.0,
     ) -> list[int]:
         """Drop old snapshot metadata, bounding the metadata log the way
         Iceberg's ``expireSnapshots`` does. Keeps the newest ``keep_last``
@@ -977,10 +1015,20 @@ class LakeTable:
             for m in s.manifest_list or []:
                 live_manifests.add(m["path"])
         mdir = os.path.join(self.table_dir, MANIFEST_DIR)
+        # mtime grace (like vacuum's retention): an in-flight commit
+        # writes its m-*.json BEFORE publishing the snapshot that
+        # references it — sweeping a young unreferenced manifest would
+        # corrupt that imminent commit
+        cutoff = time.time() - manifest_retention_sec
         for name in os.listdir(mdir):
             rel = os.path.join(MANIFEST_DIR, name)
-            if name.startswith("m-") and rel not in live_manifests:
-                os.unlink(os.path.join(mdir, name))
+            full = os.path.join(mdir, name)
+            if (
+                name.startswith("m-")
+                and rel not in live_manifests
+                and os.path.getmtime(full) < cutoff
+            ):
+                os.unlink(full)
                 _MANIFEST_FILE_CACHE.pop(
                     os.path.join(self.table_dir, rel), None
                 )

@@ -363,7 +363,6 @@ class TranscriptsApplier:
                     txn_app_id=self.app_id,
                     txn_batch_id=int(batch_id),
                     lineage=lineage,
-                    affected_buckets=affected,
                 )
                 # bound read amplification: fold deltas into base
                 # periodically (its own atomic commit, no txn id — derived

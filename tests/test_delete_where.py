@@ -113,7 +113,9 @@ def test_gdpr_full_erasure_path(spark, table):
     needle = "k7"
     delete_where(table, F.col("k") == needle)
     table.rewrite_manifests()
-    table.expire_snapshots(keep_last=1)
+    # erasure is a writer-stopped maintenance flow: sweep manifests
+    # without the in-flight grace, like vacuum's retention 0 here
+    table.expire_snapshots(keep_last=1, manifest_retention_sec=0.0)
     table.vacuum(retention_sec=0.0)
     assert table.read().count() == 11
     hits = subprocess.run(

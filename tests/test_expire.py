@@ -96,9 +96,21 @@ def test_dead_manifests_deleted(table):
     n_manifests = lambda: sum(  # noqa: E731
         1 for f in os.listdir(mdir) if f.startswith("m-")
     )
+    # an unreferenced young m-*.json is exactly what an in-flight
+    # commit looks like between manifest write and publish: the default
+    # grace must leave it alone, retention 0 sweeps it
+    inflight = os.path.join(mdir, "m-99999990-inflight0000.json")
+    with open(inflight, "w") as fh:
+        fh.write('{"files": []}')
     before = n_manifests()
     table.expire_snapshots(keep_last=1)
+    assert os.path.exists(inflight)  # grace respected
+    assert n_manifests() == before  # every dead manifest is still young
+    # a second expirable snapshot lets the sweep run again, now graceless
+    table.add_column("extra_col", "string")
+    table.expire_snapshots(keep_last=1, manifest_retention_sec=0.0)
     after = n_manifests()
+    assert not os.path.exists(inflight)
     assert after < before
     # every retained snapshot still resolves
     assert table.read().count() == 1

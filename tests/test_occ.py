@@ -190,3 +190,36 @@ def test_compaction_races_delta_append_on_real_paths(spark, tmp_path):
     compact(table)
     assert not any(f.get("kind") == "delta" for f in table.snapshot().files)
     assert table.read().count() == len(want)
+
+
+def test_stale_basis_commit_rebases(spark, table):
+    """A commit whose file list was computed against an older snapshot
+    (no publish-race version collision!) must rebase onto commits that
+    landed meanwhile instead of silently dropping their files."""
+    snap0 = table.snapshot()
+    mine = _write_entries(spark, table, [("mine", 100, 100)])
+    other = LakeTable(spark, table.table_dir)
+    theirs = _write_entries(spark, table, [("theirs", 200, 200)])
+    other.commit(other.snapshot().files + theirs)  # lands BEFORE my commit
+
+    table.commit(snap0.files + mine, basis=snap0)
+    final = {f["path"] for f in table.snapshot().files}
+    assert {e["path"] for e in mine} <= final
+    assert {e["path"] for e in theirs} <= final
+    ks = {r["k"] for r in table.read().collect()}
+    assert {"mine", "theirs"} <= ks
+
+
+def test_stale_basis_property_change_conflicts(spark, table):
+    """A property-changing commit (rebucket-style) computed against a
+    stale basis must refuse to rebase — its file layout depends on the
+    properties."""
+    snap0 = table.snapshot()
+    mine = _write_entries(spark, table, [("mine", 100, 100)])
+    other = LakeTable(spark, table.table_dir)
+    other.commit(other.snapshot().files)  # any intervening commit
+
+    props = dict(snap0.properties)
+    props["n_buckets"] = props["n_buckets"] * 2
+    with pytest.raises(ConcurrentCommitError, match="property-changing"):
+        table.commit(snap0.files + mine, properties=props, basis=snap0)
