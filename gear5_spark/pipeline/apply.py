@@ -111,11 +111,21 @@ class TranscriptsApplier:
                     "table created with delete_mode='soft' "
                     f"(table property is '{prop}')"
                 )
-        if self.rollup is not None and self.rollup.app_id is None:
+        if self.rollup is not None:
             # scope the rollup ledger to THIS applier: different base
             # app_ids (bulk vs stream, or two pipelines) have independent
-            # batch-id sequences and must not share replay-dedup state
-            self.rollup.app_id = f"{self.app_id}::rollup"
+            # batch-id sequences and must not share replay-dedup state.
+            # Reusing one rollup object across appliers would silently
+            # share (and corrupt) that ledger — refuse it.
+            scoped = f"{self.app_id}::rollup"
+            if self.rollup.app_id is None:
+                self.rollup.app_id = scoped
+            elif self.rollup.app_id != scoped:
+                raise ValueError(
+                    "ConversationRollup is already scoped to "
+                    f"'{self.rollup.app_id}' — create a fresh rollup per "
+                    "applier (its replay ledger is per-app_id)"
+                )
         bad = {"conv_id", "turn_idx"} & set(self.exclude_columns)
         if bad:
             raise ValueError(f"cannot exclude key columns: {sorted(bad)}")
@@ -250,7 +260,12 @@ class TranscriptsApplier:
             F.array_distinct(
                 F.flatten(F.collect_set(F.json_object_keys("after_json")))
             ).alias("payload_keys"),
-            F.collect_set(self.table.bucket_expr()).alias("buckets"),
+            # affected buckets over VALID rows only — a malformed
+            # (null-key) row's hash bucket would otherwise be read and
+            # rewritten for nothing every quarantine-bearing batch
+            F.collect_set(
+                F.when(~_malformed_key(), self.table.bucket_expr())
+            ).alias("buckets"),
             F.sum(
                 F.when(_malformed_key(), 1).otherwise(0)
             ).alias("malformed_count"),

@@ -224,6 +224,10 @@ def run_stream_until_idle(
                 if bid not in seen_batches and rows > 0:
                     seen_batches.add(bid)
                     last_data = _time.monotonic()
+            # a backlogged/long micro-batch must not count as idle: while
+            # the source still has unprocessed data the clock holds
+            if (query.status or {}).get("isDataAvailable"):
+                last_data = _time.monotonic()
             if _time.monotonic() - last_data > idle_timeout_sec:
                 break
             _time.sleep(poll_sec)

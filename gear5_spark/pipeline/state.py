@@ -98,7 +98,23 @@ class CursorStateStore:
         self, namespace: str, stream: str, cursor_field: str, value: Any
     ) -> Any:
         """Monotone cursor fold: state = max(state, value) (SURVEY.md A1,
-        drivers/base/driver.go:24-46). Returns the stored value."""
+        drivers/base/driver.go:24-46). Returns the stored value.
+
+        The load-modify-save runs under an advisory file lock: two
+        streams sharing one state file commit concurrently (the
+        reference guards its shared State with a mutex,
+        types/stream_configured.go:94-124) — without the lock the later
+        save would resurrect the other stream's OLD cursor."""
+        import fcntl
+
+        os.makedirs(os.path.dirname(os.path.abspath(self.path)), exist_ok=True)
+        with open(self.path + ".lock", "w") as lockf:
+            fcntl.flock(lockf, fcntl.LOCK_EX)
+            return self._advance_locked(namespace, stream, cursor_field, value)
+
+    def _advance_locked(
+        self, namespace: str, stream: str, cursor_field: str, value: Any
+    ) -> Any:
         data = self._load()
         key = self._key(namespace, stream)
         current = None

@@ -63,9 +63,18 @@ def read_files(
         reader = reader.option("pathGlobFilter", pattern)
     if modified_after is not None:
         # fractional seconds ARE honored (stringToTimestamp); truncating
-        # to whole seconds here would re-read up to a second of files
+        # to whole seconds here would re-read up to a second of files.
+        # The cursor is UTC (list_files/getmtime) — say so explicitly:
+        # a zone-less string would be interpreted in the SESSION timezone
+        # and silently skip (or re-read) hours of files on non-UTC
+        # deployments.
+        if modified_after.tzinfo is None:
+            modified_after = modified_after.replace(tzinfo=dt.timezone.utc)
         reader = reader.option(
-            "modifiedAfter", modified_after.strftime("%Y-%m-%dT%H:%M:%S.%f")
+            "modifiedAfter",
+            modified_after.astimezone(dt.timezone.utc).strftime(
+                "%Y-%m-%dT%H:%M:%S.%f+00:00"
+            ),
         )
     return reader.format(fmt).load(path)
 
@@ -86,11 +95,25 @@ def incremental_files(
     df = read_files(
         spark, path, fmt=fmt, pattern=pattern, modified_after=cur, schema=schema
     )
-    listing_pattern = os.path.join(path, "**", pattern or "*")
-
     def commit() -> Any:
-        files = list_files(listing_pattern)
-        newest = max((m for _, m in files), default=None)
+        # cursor from the files the DataFrame actually READ (plan file
+        # index), never a fresh listing: a file landing between the read
+        # and the commit must stay AHEAD of the cursor for the next sync
+        # (a live re-listing would fold it in and skip it forever)
+        from urllib.parse import unquote, urlparse
+
+        mtimes = []
+        for uri in df.inputFiles():
+            p = unquote(urlparse(uri).path) if uri.startswith("file:") else uri
+            try:
+                mtimes.append(
+                    dt.datetime.fromtimestamp(
+                        os.path.getmtime(p), dt.timezone.utc
+                    )
+                )
+            except OSError:
+                continue
+        newest = max(mtimes, default=None)
         if newest is not None:
             # Spark compares file mtimes at MILLISECOND precision; store
             # the newest mtime floored to its millisecond. The consumed

@@ -81,11 +81,34 @@ class IncrementalSource:
         cur = state.get(self.namespace, self.stream)
         if cur is not None:
             df = df.filter(F.col(self.cursor_field) > F.lit(cur))
+        # the cursor must come from the rows the caller actually CONSUMED:
+        # re-executing the read at commit time would re-query a live
+        # source, and rows landing between the downstream write and the
+        # commit would advance the cursor past data never synced. The
+        # Observation rides the caller's own action; the re-scan fallback
+        # only fires when no action ran (frozen sources re-read the same
+        # snapshot, so it stays correct there).
+        import uuid as _uuid
+
+        from pyspark.sql import Observation
+
+        obs = Observation(f"inc-cursor-{_uuid.uuid4().hex[:8]}")
+        df = df.observe(obs, F.max(self.cursor_field).alias("m"))
 
         def commit() -> Any:
-            row = df.agg(F.max(self.cursor_field).alias("m")).first()
+            m = None
+            observed = False
+            try:
+                jmap = obs._jo.getOrEmpty()
+                observed = not jmap.isEmpty()
+            except Exception:
+                observed = False
+            if observed:
+                m = obs.get["m"]
+            else:
+                m = df.agg(F.max(self.cursor_field).alias("m")).first()["m"]
             return state.advance(
-                self.namespace, self.stream, self.cursor_field, row["m"]
+                self.namespace, self.stream, self.cursor_field, m
             )
 
         return df, commit

@@ -95,13 +95,17 @@ def fetch_records(
     at-least-once, same as the reference)."""
     out: list[dict] = []
     cursor_gt = cursor_start
+    cursor_gte = None  # restart boundary: >= re-delivers ties (see below)
     after: str | None = None
     window_seen = 0
     while True:
         params: dict[str, Any] = {"limit": stream.page_size, "after": after}
         if stream.cursor_field is not None:
             params["cursor_field"] = stream.cursor_field
-            params["cursor_gt"] = cursor_gt
+            if cursor_gte is not None:
+                params["cursor_gte"] = cursor_gte
+            else:
+                params["cursor_gt"] = cursor_gt
         page = _fetch_with_retry(fetch, params, stream, sleep=sleep)
         stream.stats["pages"] += 1
         out.extend(page.records)
@@ -116,8 +120,11 @@ def fetch_records(
         ):
             # the API will refuse to page past its result cap: restart
             # the search from the newest cursor value seen so far
-            # (crm_stream.go:136-143)
-            cursor_gt = max(r[stream.cursor_field] for r in out)
+            # (crm_stream.go:136-143). The restart filter is >=, not >:
+            # unfetched rows SHARING the boundary cursor value would be
+            # dropped forever under strict >, breaking the at-least-once
+            # contract (ties are re-delivered and deduped downstream).
+            cursor_gte = max(r[stream.cursor_field] for r in out)
             after = None
             window_seen = 0
             stream.stats["restarts"] += 1

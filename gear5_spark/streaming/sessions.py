@@ -52,13 +52,27 @@ def _track(
         )
         return
     n, mt, lsn = state.get if state.exists else (0, -1, -1)
+    ev_ms = 0
     for pdf in pdfs:
+        # null key parts are a feed bug (the batch applier quarantines
+        # them); int(NaN) would kill the query — drop them here too
+        pdf = pdf[pdf["turn_idx"].notna() & pdf["lsn"].notna()]
+        if len(pdf) == 0:
+            continue
         n += len(pdf)
         mt = max(mt, int(pdf["turn_idx"].max()))
         lsn = max(lsn, int(pdf["lsn"].max()))
+        ev_ms = max(ev_ms, int(pdf["event_time"].max().value // 1_000_000))
     state.update((n, mt, lsn))
-    # Evict once the watermark passes idle-timeout beyond the latest data.
-    state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 30 * 60 * 1000)
+    # Evict once event time passes idle-timeout beyond the latest data.
+    # Anchor to the DATA's event time, not the watermark alone: on the
+    # first micro-batch the watermark is still 0, and epoch+30min would
+    # finalize every conversation on the next batch (resetting its
+    # counters forever). max() with the watermark keeps the timestamp
+    # valid for EventTimeTimeout (must be past the watermark).
+    state.setTimeoutTimestamp(
+        max(state.getCurrentWatermarkMs(), ev_ms) + 30 * 60 * 1000
+    )
     yield pd.DataFrame(
         [
             {

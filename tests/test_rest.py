@@ -34,6 +34,8 @@ class FakeApi:
         rows = self.rows
         if params.get("cursor_gt") is not None:
             rows = [r for r in rows if r["updated"] > params["cursor_gt"]]
+        if params.get("cursor_gte") is not None:
+            rows = [r for r in rows if r["updated"] >= params["cursor_gte"]]
         start = int(params["after"] or 0)
         if start >= self.cap:  # the API refuses to page past its window
             raise AssertionError("paged past the search cap")
