@@ -68,8 +68,12 @@ def table_diff(table: LakeTable, v_from: int, v_to: int | None = None) -> DataFr
         F.when(F.col("_o").isNull(), F.lit("insert"))
         .when(F.col("_n").isNull(), F.lit("delete"))
         .when(
-            F.col(f"_n.{CDC_LSN}").try_cast("long")
-            != F.col(f"_o.{CDC_LSN}").try_cast("long"),
+            # null-SAFE inequality: with a NULL or non-numeric lsn on
+            # either side, plain != yields NULL and real updates would
+            # silently classify as unchanged
+            ~F.col(f"_n.{CDC_LSN}")
+            .try_cast("long")
+            .eqNullSafe(F.col(f"_o.{CDC_LSN}").try_cast("long")),
             F.lit("update"),
         )
         .otherwise(F.lit(None))

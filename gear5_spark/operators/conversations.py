@@ -118,7 +118,12 @@ def gap_sessionize(
     truncated-to-second casts, so sub-second timestamps sessionize
     identically to a SQL engine's ``epoch_us`` arithmetic.
 
-    ``session_idx`` is 1-based per key in time order."""
+    ``session_idx`` is 1-based per key in time order. NULL-timestamp
+    rows are dropped (they cannot be placed in time; Spark sorts NULLs
+    FIRST while ANSI engines default NULLS LAST, so keeping them would
+    shift every real session index relative to the SQL oracle — the
+    streaming sessionizer drops them the same way)."""
+    df = df.filter(F.col(ts_col).isNotNull())
     w = Window.partitionBy(key_col).orderBy(ts_col)
     prev = F.lag(F.col(ts_col)).over(w)
 
@@ -180,7 +185,12 @@ def asof_join(
     # semantics, and the SQL oracle's) — but NULLs sort FIRST in the
     # ascending window order, where last(ignorenulls) would carry them
     # into every left row; drop them before the union
-    r = right.filter(F.col(right_ts).isNotNull()).select(
+    # NULL join keys never match in SQL ASOF equality — a NULL-keyed
+    # right row must not donate its payload to NULL-keyed left rows
+    # (Window.partitionBy groups NULLs together, SQL equality does not)
+    r = right.filter(
+        F.col(right_ts).isNotNull() & F.col(on).isNotNull()
+    ).select(
         F.col(on),
         F.col(right_ts).cast("timestamp").alias("__ts"),
         F.lit(right_tag).alias("__tag"),

@@ -88,14 +88,28 @@ def coerce_double(col: Column) -> Column:
     return col.cast("string").try_cast("double")
 
 
+# epoch-seconds range for years [0, 9999] (reformat.go:164-170)
+_EPOCH_S_MIN = -62_135_596_800
+_EPOCH_S_MAX = 253_402_300_799
+
+
 def coerce_timestamp(col: Column) -> Column:
     """F5: multi-layout timestamp parse + unix-seconds ints
-    (reformat.go:108-173). Entirely JVM-side: a coalesce over
-    ``try_to_timestamp`` patterns, then epoch-seconds fallback."""
+    (reformat.go:108-173) + the reference's year clamp [0, 9999]
+    (reformat.go:164-170 — matching the pandas path's ``_clamp_year``).
+    Entirely JVM-side: a coalesce over ``try_to_timestamp`` patterns,
+    then a RANGE-GUARDED epoch-seconds fallback — an unguarded
+    ``timestamp_seconds`` throws 'long overflow' on large numeric
+    strings (e.g. a compact ``yyyyMMddHHmmss`` value) and would fail
+    the task instead of degrading to NULL."""
     s = col.cast("string")
     attempts = [F.try_to_timestamp(s, F.lit(p)) for p in TIMESTAMP_PATTERNS]
-    attempts.append(F.timestamp_seconds(s.try_cast("long")))
-    return F.coalesce(*attempts)
+    n = s.try_cast("long")
+    attempts.append(
+        F.timestamp_seconds(F.when(n.between(_EPOCH_S_MIN, _EPOCH_S_MAX), n))
+    )
+    ts = F.coalesce(*attempts)
+    return F.when(F.year(ts).between(0, 9999), ts)
 
 
 def decode_url(col: Column) -> Column:
@@ -237,7 +251,15 @@ def _coerce_pd(series: pd.Series, token: str) -> pd.Series:
         out[s.isin(_FALSE_SET)] = False
         return out
     if token == "long":
-        return pd.to_numeric(series, errors="coerce").astype("Int64")
+        num = pd.to_numeric(series, errors="coerce")
+        if num.dtype.kind == "f":
+            # truncate like the sql path ("3.9" -> 3, reformat.go:190-219)
+            # — astype(Int64) refuses non-integral floats; integral input
+            # stays int64 and skips the lossy float detour entirely
+            import numpy as np
+
+            num = np.trunc(num)
+        return num.astype("Int64")
     if token == "double":
         return pd.to_numeric(series, errors="coerce").astype("Float64")
     if token == "epoch_seconds":

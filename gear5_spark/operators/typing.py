@@ -43,6 +43,11 @@ def can_widen(src: T.DataType, dst: T.DataType) -> bool:
     if d == "string":
         return True  # string is the lattice top (typeutils/fields.go:18-28)
     if s in _WIDEN_RANK and d in _WIDEN_RANK:
+        if d == "float" and s in ("integer", "long"):
+            # float32's 24-bit mantissa cannot hold 32/64-bit ints —
+            # the reference lattice has only FLOAT64 above INT64, so a
+            # lossless widen must target double
+            return False
         return _WIDEN_RANK[s] <= _WIDEN_RANK[d]
     if s == "timestamp" and d in ("timestamp_ntz",):
         return False
@@ -66,7 +71,10 @@ def widen(a: T.DataType, b: T.DataType) -> T.DataType:
             if sa in order and sb in order:
                 return a if order.index(sa) >= order.index(sb) else b
             return a
-        return a if ra > rb else b
+        hi, lo = (a, sb) if ra > rb else (b, sa)
+        if _simple(hi) == "float" and lo in ("integer", "long"):
+            return T.DoubleType()  # see can_widen: float32 loses ints
+        return hi
     # mixed families (timestamp+int, struct+scalar, ...) -> string top
     return T.StringType()
 

@@ -141,6 +141,14 @@ def lsh_band_buckets(
 ) -> DataFrame:
     """(doc_id, band, bucket) LSH assignment — the shared prefix of pair
     generation and bucket diagnostics."""
+    if not 1 <= bands <= num_hashes or num_hashes % bands:
+        # bands > num_hashes would silently hash ZERO rows per band
+        # (every doc in one global bucket); a non-dividing band count
+        # silently ignores the remainder hashes
+        raise ValueError(
+            f"bands must divide num_hashes (got bands={bands}, "
+            f"num_hashes={num_hashes})"
+        )
     r = num_hashes // bands
     sigs = minhash_signatures(docs, num_hashes, shingle_n)
     return sigs.select(
@@ -290,9 +298,10 @@ def connected_components(
                 .limit(1)
                 .count()
             )
-            # release the superseded checkpoint's storage promptly
-            # instead of waiting for the context cleaner
-            labels.unpersist()
+            # superseded localCheckpoint blocks are reclaimed by the
+            # context cleaner once this reference drops (DataFrame
+            # .unpersist() does NOT release checkpoint storage — it only
+            # uncaches persist()/cache() entries)
             labels = new
             if changed == 0:
                 break

@@ -9,9 +9,12 @@ Scale notes: the per-document statistics use the canonical
 explode → groupBy(doc, token) word-count shape — two hash shuffles,
 both with map-side partial aggregation, the textbook distributed
 wordcount that scales linearly. PII counting is pure per-row JVM regex
-(``regexp_count``) — no shuffle at all. Tokenization matches
-``text/quality.py`` / ``text/dedupe.py`` exactly (lower, trim, split on
-``\\s+``) so every text operator agrees on token identity.
+(``regexp_count``) — no shuffle at all. Tokenization uses the same
+split as ``text/quality.py`` / ``text/dedupe.py`` (lower, trim, split on
+``\\s+``) with one deliberate difference: EMPTY tokens are dropped
+here, so an all-whitespace document emits no token rows (while
+``quality.token_counts`` counts the single empty token its split
+produces) — join the two signals on doc_id with that in mind.
 """
 
 from __future__ import annotations
