@@ -35,10 +35,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def entry(spark: SparkSession) -> DataFrame:
     """CDC replay flagship on a deterministic embedded fixture + the
     sf0.001 testdata smoke scan."""
-    return _cdc_replay(spark, "/root/testdata/sf0.001")
+    sf_dir = "/root/testdata/sf0.001"
+    # smoke-scan the testdata (missing/corrupt parquet fails HERE, not
+    # in a later query); the replay itself runs on an embedded fixture
+    _t(spark, sf_dir, "events").limit(1).count()
+    return _cdc_replay(spark)
 
 
-def _cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _cdc_replay(spark: SparkSession) -> DataFrame:
     """Generate a seeded 2k-event transcript change log, replay it through
     the full engine (normalize -> dedup -> bucketed MERGE with lineage),
     return the final transcripts table."""
@@ -1162,7 +1166,7 @@ def oracle_sql() -> dict[str, str]:
         "payload_inference": (
             "WITH ch AS (SELECT event_id AS lsn, event_id % 5 AS txn_seq, "
             "'conv-' || user_id AS conv_id, "
-            "CAST(json_extract_string(props, '$.k') AS INT) % 8 AS turn_idx, "
+            "((CAST(json_extract_string(props, '$.k') AS INT) % 8) + 8) % 8 AS turn_idx, "
             "event_type AS role, 'msg-' || event_id AS text, "
             "epoch_us(ts) // 1000000 AS ts_s, "
             "CAST(json_extract_string(props, '$.k') AS INT) % 2 = 0 AS flag, "
@@ -1245,7 +1249,7 @@ def oracle_sql() -> dict[str, str]:
             "(PARTITION BY user_id ORDER BY ts) IS NULL "
             "OR epoch_us(ts) - epoch_us(lag(ts) OVER "
             "(PARTITION BY user_id ORDER BY ts)) > 1800000000 "
-            "THEN 1 ELSE 0 END AS brk FROM events), "
+            "THEN 1 ELSE 0 END AS brk FROM events WHERE ts IS NOT NULL), "
             "s AS (SELECT user_id, ts, CAST(sum(brk) OVER "
             "(PARTITION BY user_id ORDER BY ts "
             "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx FROM g) "
@@ -1335,7 +1339,7 @@ _DERIVED_CHANGES_SQL = (
     "CASE WHEN event_type = 'error' THEN 'delete' "
     "WHEN event_type = 'click' THEN 'insert' ELSE 'update' END AS op, "
     "'conv-' || user_id AS conv_id, "
-    "CAST(json_extract_string(props, '$.k') AS INT) % 8 AS turn_idx, "
+    "((CAST(json_extract_string(props, '$.k') AS INT) % 8) + 8) % 8 AS turn_idx, "
     "event_type AS role, 'msg-' || event_id AS text, "
     "epoch_us(ts) // 1000000 AS ts_s "
     "FROM events "

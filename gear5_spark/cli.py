@@ -51,11 +51,14 @@ def cmd_check(args) -> int:
 
     try:
         cfg = PipelineConfig.from_file(args.config)
+        # validate() inside the guard: dataclasses don't type-check, so
+        # a wrong-typed value (n_buckets: "16") raises here — it must
+        # become a FAILED status line, not a traceback
+        problems = cfg.validate()
     except (OSError, ValueError, TypeError) as e:
         print(json.dumps({"type": "CONNECTION_STATUS", "status": "FAILED",
                           "message": f"config: {e}"}))
         return 1
-    problems = cfg.validate()
     if not problems:
         try:
             spark = _spark()
@@ -75,6 +78,8 @@ def cmd_check(args) -> int:
 def cmd_discover(args) -> int:
     from gear5_spark.config import PipelineConfig
     from gear5_spark.pipeline.apply import BASE_PAYLOAD, KEY_COLS
+
+    BASE_PAYLOAD_SOURCES = {f["source"] for f in BASE_PAYLOAD.values()}
     from gear5_spark.pipeline.runner import TRANSCRIPTS_SCHEMA
     from gear5_spark.sources.changelog import read_changelog
 
@@ -83,26 +88,25 @@ def cmd_discover(args) -> int:
     from pyspark.sql import functions as F
 
     # sample payload keys (≈ 100-record sampling, protocol/discover.go:46)
+    # — ONE scan: the key set and counts derive from the same collected
+    # payloads (two unordered limit() scans could sample different rows)
     sample = read_changelog(spark, cfg.changelog_dir).limit(args.sample)
-    row = sample.agg(
-        F.array_distinct(
-            F.flatten(F.collect_set(F.json_object_keys("after_json")))
-        ).alias("keys"),
-        F.count(F.lit(1)).alias("n"),
-    ).first()
-    # typed catalog (reference emits full TypeSchema per stream): run the
-    # same inference the applier uses, over the sampled payloads
     import json as _json
 
     from gear5_spark.operators.infer import infer_token
     from gear5_spark.operators.names import sanitize_unique
 
-    payloads = [
-        r[0]
-        for r in sample.select("after_json")
-        .filter(F.col("after_json").isNotNull())
-        .collect()
-    ]
+    rows = sample.select("after_json").collect()
+    payloads = [r[0] for r in rows if r[0] is not None]
+    observed_keys: set[str] = set()
+    for s_ in payloads:
+        try:
+            d = _json.loads(s_)
+        except ValueError:
+            continue
+        if isinstance(d, dict):
+            observed_keys.update(d.keys())
+    row = {"keys": sorted(observed_keys), "n": len(rows)}
     vals_by_key: dict[str, list] = {}
     for s in payloads:
         try:
@@ -113,15 +117,21 @@ def cmd_discover(args) -> int:
             for k, v in d.items():
                 if v is not None:
                     vals_by_key.setdefault(k, []).append(v)
-    base_cols = set(BASE_PAYLOAD)
-    name_map = sanitize_unique(list(vals_by_key), taken=set(KEY_COLS))
+    # the sanitize pool must match the applier's exactly (apply.py
+    # extend_registry: taken = registry names | KEY_COLS) or the
+    # advertised catalog name diverges from the column the applier
+    # actually creates for the same key
+    name_map = sanitize_unique(
+        [k for k in vals_by_key if k not in BASE_PAYLOAD_SOURCES],
+        taken=set(BASE_PAYLOAD) | set(KEY_COLS),
+    )
     typed = {
         name_map[k]: {"type": infer_token(v[:100]), "source": k}
         for k, v in vals_by_key.items()
+        if k not in BASE_PAYLOAD_SOURCES
     }
     for col, spec in BASE_PAYLOAD.items():  # configured schema wins
-        if col in base_cols:
-            typed[col] = dict(spec)
+        typed[col] = dict(spec)
     catalog = {
         "type": "CATALOG",
         "streams": [
@@ -157,8 +167,13 @@ def cmd_read(args) -> int:
         run_stream,
     )
 
-    cfg = PipelineConfig.from_file(args.config)
-    problems = cfg.validate()
+    try:
+        cfg = PipelineConfig.from_file(args.config)
+        problems = cfg.validate()
+    except (OSError, ValueError, TypeError) as e:
+        print(json.dumps({"type": "LOG", "level": "ERROR",
+                          "message": f"config: {e}"}))
+        return 1
     if problems:
         print(json.dumps({"type": "LOG", "level": "ERROR",
                           "message": "; ".join(problems)}))
@@ -208,6 +223,10 @@ def cmd_read(args) -> int:
             spark, cfg.changelog_dir, table, cfg.checkpoint_dir,
             app_id=cfg.app_id, salt_buckets=cfg.salt_buckets,
             normalize_mode=cfg.normalize_mode,
+            delete_mode=cfg.delete_mode,
+            sink_mode=cfg.sink_mode,
+            compact_every=cfg.compact_every,
+            quarantine_dir=cfg.quarantine_dir,
             exclude_columns=cfg.exclude_columns,
             rollup=rollup,
             partition_lineage=cfg.partition_lineage,

@@ -124,6 +124,10 @@ def replay_batch(
     salt_buckets: int = 1,
     normalize_mode: str = "sql",
     order_guard: bool = False,
+    delete_mode: str = "hard",
+    sink_mode: str = "cow",
+    compact_every: int = 8,
+    quarantine_dir: str | None = None,
     exclude_columns: list[str] | None = None,
     rollup=None,
     partition_lineage: bool = True,
@@ -140,6 +144,10 @@ def replay_batch(
         salt_buckets=salt_buckets,
         normalize_mode=normalize_mode,
         order_guard=order_guard,
+        delete_mode=delete_mode,
+        sink_mode=sink_mode,
+        compact_every=compact_every,
+        quarantine_dir=quarantine_dir,
         exclude_columns=exclude_columns or [],
         rollup=rollup,
         partition_lineage=partition_lineage,

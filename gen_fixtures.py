@@ -91,7 +91,6 @@ def generate_changelog(
     live_pos: dict[tuple[str, int], int] = {}
 
     cols: dict[str, list] = {k.name: [] for k in CHANGE_SCHEMA}
-    chunks_written = 0
     chunk_idx = 0
 
     def flush() -> None:
@@ -178,7 +177,6 @@ def generate_changelog(
         cols["after_json"].append(after)
         if len(cols["lsn"]) >= chunk_rows:
             flush()
-            chunks_written += 1
     flush()
 
     manifest = {

@@ -87,3 +87,46 @@ def test_compact_and_vacuum(capsys, pipeline):
         ["vacuum", "--table-dir", cfg["table_dir"], "--retention-sec", "0"],
     )
     assert rc == 0 and doc["removed_commits"] == []
+
+
+def test_bulk_read_respects_delete_mode_soft(capsys, spark, tmp_path):
+    """Config knobs must reach the BULK applier too: delete_mode=soft
+    keeps tombstones instead of silently hard-deleting."""
+    import pyspark.sql.functions as F
+
+    log = str(tmp_path / "log")
+    generate_changelog(log, n_events=2_000, n_convs=40, chunk_rows=500)
+    cfg = {
+        "changelog_dir": log,
+        "table_dir": str(tmp_path / "table"),
+        "checkpoint_dir": str(tmp_path / "ckpt"),
+        "mode": "bulk",
+        "n_buckets": 4,
+        "delete_mode": "soft",
+    }
+    cfg_path = str(tmp_path / "cfg.json")
+    with open(cfg_path, "w") as fh:
+        json.dump(cfg, fh)
+    rc, _ = _run(capsys, ["read", "--config", cfg_path])
+    assert rc == 0
+    from gear5_spark.lake.table import LakeTable
+
+    table = LakeTable(spark, cfg["table_dir"])
+    n_tombstones = (
+        table.read().filter(F.col("_cdc_deleted_at").isNotNull()).count()
+    )
+    assert n_tombstones > 0  # deletes survived as tombstones
+
+
+def test_check_reports_type_error_as_failed(capsys, tmp_path):
+    """A wrong-typed config value must yield a FAILED status line, not a
+    traceback (dataclasses don't type-check)."""
+    cfg_path = str(tmp_path / "bad.json")
+    with open(cfg_path, "w") as fh:
+        json.dump(
+            {"changelog_dir": "x", "table_dir": "y",
+             "checkpoint_dir": "z", "n_buckets": "16"},
+            fh,
+        )
+    rc, doc = _run(capsys, ["check", "--config", cfg_path])
+    assert rc == 1 and doc["status"] == "FAILED"
