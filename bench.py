@@ -28,29 +28,17 @@ SCALE_EVENTS = int(os.environ.get("SPARK_GRAFT_SCALE_EVENTS", str(N_EVENTS)))
 SEED = 42
 
 
-def _bench_changelog_scale() -> str:
-    from gen_fixtures import generate_changelog
-
-    d = f"/tmp/gear5-bench-log-{SCALE_EVENTS}-{SEED}-c64"
-    if not os.path.exists(os.path.join(d, "_manifest.json")):
-        shutil.rmtree(d, ignore_errors=True)
-        generate_changelog(
-            d, n_events=SCALE_EVENTS, n_convs=max(200, SCALE_EVENTS // 500),
-            chunk_rows=max(10_000, SCALE_EVENTS // 64), seed=SEED,
-        )
-    return d
-
-
-def _bench_changelog() -> str:
+def _bench_changelog(n_events: int | None = None) -> str:
     """Seeded bench change log, cached across runs (same seed+size)."""
     from gen_fixtures import generate_changelog
 
-    d = f"/tmp/gear5-bench-log-{N_EVENTS}-{SEED}-c64"
+    n = N_EVENTS if n_events is None else n_events
+    d = f"/tmp/gear5-bench-log-{n}-{SEED}-c64"
     if not os.path.exists(os.path.join(d, "_manifest.json")):
         shutil.rmtree(d, ignore_errors=True)
         generate_changelog(
-            d, n_events=N_EVENTS, n_convs=max(200, N_EVENTS // 500),
-            chunk_rows=max(10_000, N_EVENTS // 64), seed=SEED,
+            d, n_events=n, n_convs=max(200, n // 500),
+            chunk_rows=max(10_000, n // 64), seed=SEED,
         )  # cached across rounds: same seed+size -> same bytes
     return d
 
@@ -187,7 +175,9 @@ def main() -> None:
     # still measured and reported as secondary evidence together with the
     # measured hardware ceiling. min-of-2 per level: first run pays cold
     # cache; host load is bursty.
-    scale_log = _bench_changelog_scale() if SCALE_EVENTS != N_EVENTS else log_dir
+    scale_log = (
+        _bench_changelog(SCALE_EVENTS) if SCALE_EVENTS != N_EVENTS else log_dir
+    )
     t_by_cores = {}
     for cores in sorted({SCALE_LOW, SCALE_HIGH, LOW_CPUS, CPUS}):
         spark = _fresh_spark(cores)
@@ -214,11 +204,12 @@ def main() -> None:
             ),
         },
         "secondary_pair": {
-            "n_events": N_EVENTS,
+            # timed over scale_log — its event count, not N_EVENTS
+            "n_events": SCALE_EVENTS,
             "cores_low": LOW_CPUS,
             "cores_high": CPUS,
-            "events_per_sec_low": round(N_EVENTS / t_low, 1),
-            "events_per_sec_high": round(N_EVENTS / t_high, 1),
+            "events_per_sec_low": round(SCALE_EVENTS / t_low, 1),
+            "events_per_sec_high": round(SCALE_EVENTS / t_high, 1),
             "speedup": round(t_low / t_high, 3),
             "efficiency": round((t_low / t_high) / (CPUS / LOW_CPUS), 3),
         },

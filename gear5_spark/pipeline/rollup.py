@@ -141,6 +141,13 @@ class ConversationRollup:
         merge_into(
             self.rollup,
             batch,
+            # order_guard OFF: the recompute is authoritative (full stats
+            # over CURRENT base state), and _cdc_lsn here is a per-applier
+            # batch id — a bulk catch-up (fresh ledger, batch 0) refreshing
+            # rows stamped by a stream applier's batch 50 would otherwise
+            # lose the LSN comparison and leave the rollup stale forever.
+            # Replay safety comes from the per-app txn ledger, not the guard.
+            order_guard=False,
             txn_app_id=app_id,
             txn_batch_id=batch_id,
             lineage={

@@ -75,5 +75,12 @@ def run_metrics_stream(
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination(timeout_sec)
+    finished = query.awaitTermination(timeout_sec)
+    if not finished:
+        # the drain outran the timeout: returning silently would hand the
+        # caller a PARTIAL metrics table with a writer still racing it
+        query.stop()
+        raise TimeoutError(
+            f"metrics drain exceeded {timeout_sec}s (stopped incomplete)"
+        )
     return query
