@@ -1094,12 +1094,13 @@ def oracle_sql() -> dict[str, str]:
             "len(string_split_regex(trim(lower(text)), '\\s+')) AS n_tokens "
             "FROM documents), "
             "c AS (SELECT doc_id, shard, n_tokens, "
-            "sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id "
-            "ROWS UNBOUNDED PRECEDING) - n_tokens AS before "
+            "CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id "
+            "ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS before "
             "FROM t) "
-            "SELECT doc_id, CAST(shard AS INT) AS shard, n_tokens, "
-            "before // 2048 AS pack_idx, "
-            "before % 2048 AS offset_tokens FROM c"
+            "SELECT doc_id, CAST(shard AS INT) AS shard, "
+            "CAST(n_tokens AS BIGINT) AS n_tokens, "
+            "CAST(before // 2048 AS BIGINT) AS pack_idx, "
+            "CAST(before % 2048 AS BIGINT) AS offset_tokens FROM c"
         ),
         "decontamination": (
             "WITH t AS (SELECT doc_id, "

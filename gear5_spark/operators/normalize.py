@@ -259,6 +259,12 @@ def _coerce_pd(series: pd.Series, token: str) -> pd.Series:
             import numpy as np
 
             num = np.trunc(num)
+            # out-of-int64-range values (e.g. "1e30") would make
+            # astype(Int64) raise and kill the whole task; the sql
+            # path's try_cast degrades them to NULL — mirror that
+            # float(2**63-1) rounds UP to exactly 2**63, which astype
+            # would still reject — bound strictly below 2**63 instead
+            num = num.where((num >= -(2.0**63)) & (num < 2.0**63))
         return num.astype("Int64")
     if token == "double":
         return pd.to_numeric(series, errors="coerce").astype("Float64")

@@ -95,25 +95,31 @@ def incremental_files(
     df = read_files(
         spark, path, fmt=fmt, pattern=pattern, modified_after=cur, schema=schema
     )
-    def commit() -> Any:
-        # cursor from the files the DataFrame actually READ (plan file
-        # index), never a fresh listing: a file landing between the read
-        # and the commit must stay AHEAD of the cursor for the next sync
-        # (a live re-listing would fold it in and skip it forever)
-        from urllib.parse import unquote, urlparse
+    # cursor from the files the DataFrame actually READ (plan file
+    # index), never a fresh listing: a file landing between the read
+    # and the commit must stay AHEAD of the cursor for the next sync
+    # (a live re-listing would fold it in and skip it forever). The
+    # mtimes are snapshotted HERE, at listing time — a file appended
+    # AFTER this point keeps its old mtime in the cursor, so the
+    # post-read modification bumps it past the cursor and the next
+    # sync re-reads it (getmtime at commit time would fold the new
+    # mtime in and skip the unsynced append forever)
+    from urllib.parse import unquote, urlparse
 
-        mtimes = []
-        for uri in df.inputFiles():
-            p = unquote(urlparse(uri).path) if uri.startswith("file:") else uri
-            try:
-                mtimes.append(
-                    dt.datetime.fromtimestamp(
-                        os.path.getmtime(p), dt.timezone.utc
-                    )
+    listed_mtimes: list[dt.datetime] = []
+    for uri in df.inputFiles():
+        p = unquote(urlparse(uri).path) if uri.startswith("file:") else uri
+        try:
+            listed_mtimes.append(
+                dt.datetime.fromtimestamp(
+                    os.path.getmtime(p), dt.timezone.utc
                 )
-            except OSError:
-                continue
-        newest = max(mtimes, default=None)
+            )
+        except OSError:
+            continue
+
+    def commit() -> Any:
+        newest = max(listed_mtimes, default=None)
         if newest is not None:
             # Spark compares file mtimes at MILLISECOND precision; store
             # the newest mtime floored to its millisecond. The consumed

@@ -27,6 +27,35 @@ from pyspark.sql import functions as F
 
 from gear5_spark.pipeline.state import CursorStateStore
 
+_log = __import__("logging").getLogger("gear5_spark.sources.incremental")
+_OBS_PROBE_WARNED = False
+
+
+def _observation_ran(obs) -> bool | None:
+    """Non-blocking "did the caller's action run?" probe. PySpark exposes
+    no documented non-blocking accessor, so this reaches for the JVM
+    handle's ``getOrEmpty``; a rename across Spark versions must degrade
+    LOUDLY (warn once, return None) rather than silently into the
+    re-scan fallback, which can advance the cursor past unsynced rows on
+    a live source."""
+    global _OBS_PROBE_WARNED
+    try:
+        return not obs._jo.getOrEmpty().isEmpty()
+    except Exception as e:
+        if not _OBS_PROBE_WARNED:
+            _OBS_PROBE_WARNED = True
+            _log.warning(
+                "Observation non-blocking probe unavailable (%s: %s) — "
+                "commit() will re-execute the cursor aggregate against "
+                "the source; on a LIVE source this can advance the "
+                "cursor past rows the downstream write never saw. "
+                "Ensure commit() is called only after the full write "
+                "action, or pin a PySpark version with Observation._jo.",
+                type(e).__name__,
+                e,
+            )
+        return None
+
 
 @dataclass
 class IncrementalSource:
@@ -96,16 +125,17 @@ class IncrementalSource:
         df = df.observe(obs, F.max(self.cursor_field).alias("m"))
 
         def commit() -> Any:
-            m = None
-            observed = False
-            try:
-                jmap = obs._jo.getOrEmpty()
-                observed = not jmap.isEmpty()
-            except Exception:
-                observed = False
+            observed = _observation_ran(obs)
             if observed:
                 m = obs.get["m"]
             else:
+                if observed is None:
+                    _log.warning(
+                        "%s.%s: falling back to re-scan cursor aggregate "
+                        "(Observation probe unavailable)",
+                        self.namespace,
+                        self.stream,
+                    )
                 m = df.agg(F.max(self.cursor_field).alias("m")).first()["m"]
             return state.advance(
                 self.namespace, self.stream, self.cursor_field, m

@@ -124,11 +124,23 @@ def fetch_records(
             # unfetched rows SHARING the boundary cursor value would be
             # dropped forever under strict >, breaking the at-least-once
             # contract (ties are re-delivered and deduped downstream).
-            cursor_gte = max(r[stream.cursor_field] for r in out)
-            after = None
-            window_seen = 0
-            stream.stats["restarts"] += 1
-            continue
+            boundary = max(r[stream.cursor_field] for r in out)
+            if cursor_gte is None or boundary > cursor_gte:
+                cursor_gte = boundary
+                after = None
+                window_seen = 0
+                stream.stats["restarts"] += 1
+                continue
+            # boundary did not advance since the last restart: more than
+            # search_cap rows share one cursor value (bulk imports with
+            # identical timestamps), so a gte-restart would refetch the
+            # same window forever. Keep paging via ``after`` past the
+            # advertised cap for this one value — ``after`` advances per
+            # page, so progress is guaranteed; the first page bearing a
+            # newer cursor value re-arms the restart path above.
+            stream.stats["cap_overruns"] = (
+                stream.stats.get("cap_overruns", 0) + 1
+            )
         after = page.next_after
 
 

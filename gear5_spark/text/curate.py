@@ -107,15 +107,18 @@ def pack_sequences(
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     with_cum = docs.select(
-        "doc_id", shard.alias("shard"), n_tok.alias("n_tokens")
+        "doc_id", shard.alias("shard"), n_tok.cast("long").alias("n_tokens")
     ).withColumn("cum_after", F.sum("n_tokens").over(w))
-    before = F.col("cum_after") - F.col("n_tokens")
+    # exact integer arithmetic end-to-end: DIV (integer division) instead
+    # of double-divide-then-cast, so no float representation ever enters
+    # the value path and the output is bit-identical to an integer oracle
+    before = "(cum_after - n_tokens)"
     return with_cum.select(
         "doc_id",
         "shard",
         "n_tokens",
-        (before / budget_tokens).cast("long").alias("pack_idx"),
-        F.pmod(before, F.lit(budget_tokens)).cast("long").alias(
+        F.expr(f"{before} DIV {int(budget_tokens)}").alias("pack_idx"),
+        F.expr(f"{before} % {int(budget_tokens)}").cast("long").alias(
             "offset_tokens"
         ),
     )

@@ -148,3 +148,34 @@ def test_snapshot_then_cdc_handoff(spark, tiny_changelog, tmp_path):
     assert len(got) == len(want)
     for g, w in zip(got, want):
         assert g["text"] == w["text"], (g["conv_id"], g["turn_idx"])
+
+
+def test_incremental_files_mtime_snapshot_at_read(spark, tmp_path):
+    """A file modified AFTER the read but BEFORE commit() must stay ahead
+    of the cursor (its new mtime is not folded in), so the next sync
+    re-reads the unsynced modification."""
+    import os
+    import time
+
+    from gear5_spark.sources.files import incremental_files
+
+    d = str(tmp_path / "drop")
+    os.makedirs(d)
+    spark.range(10).toDF("a").coalesce(1).write.parquet(d + "/f1")
+    state = CursorStateStore(str(tmp_path / "state.json"))
+    df, commit = incremental_files(
+        spark, state, "ns", "drop", d, pattern="*.parquet"
+    )
+    assert df.count() == 10
+    # simulate a post-read append: bump the file's mtime before commit
+    time.sleep(1.1)
+    for root, _dirs, names in os.walk(d):
+        for n in names:
+            if n.endswith(".parquet"):
+                os.utime(os.path.join(root, n))
+    commit()
+    # next sync must re-deliver the modified file, not skip it
+    df2, _ = incremental_files(
+        spark, state, "ns", "drop", d, pattern="*.parquet"
+    )
+    assert df2.count() == 10

@@ -120,3 +120,20 @@ def test_config_validate_and_spec(tmp_path):
     assert PipelineConfig.from_dict(cfg.to_dict()) == cfg
     with pytest.raises(ValueError, match="unknown config keys"):
         PipelineConfig.from_dict({**cfg.to_dict(), "bogus": 1})
+
+
+def test_coerce_long_out_of_range_degrades_to_null():
+    # the sql path's try_cast turns out-of-int64 numerics into NULL; the
+    # pandas path must match instead of raising from astype('Int64')
+    import pandas as pd
+
+    from gear5_spark.operators.normalize import _coerce_pd
+
+    s = pd.Series(["3", "3.9", "1e30", "-1e30", "9223372036854775807",
+                   "junk", None])
+    out = _coerce_pd(s, "long")
+    assert out.dtype.name == "Int64"
+    assert out.iloc[0] == 3
+    assert out.iloc[1] == 3  # truncation, not rejection
+    assert pd.isna(out.iloc[2]) and pd.isna(out.iloc[3])  # overflow -> NULL
+    assert pd.isna(out.iloc[5]) and pd.isna(out.iloc[6])

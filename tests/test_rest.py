@@ -107,3 +107,63 @@ def test_all_string_schema_sheets_semantics(spark):
     df, _ = read_paginated(spark, api.fetch, stream, all_string=True)
     assert all(f.dataType.simpleString() == "string" for f in df.schema.fields)
     assert df.filter("id = '3'").count() == 1
+
+
+def test_tied_cursor_window_terminates():
+    # >cap rows sharing ONE cursor value (bulk import with identical
+    # timestamps): a gte-restart would refetch the same window forever.
+    # The engine must detect the stuck boundary and keep paging via
+    # `after` past the advertised cap for that one value.
+    class TieApi(FakeApi):
+        def fetch(self, params):
+            self.calls += 1
+            rows = self.rows
+            if params.get("cursor_gt") is not None:
+                rows = [r for r in rows if r["updated"] > params["cursor_gt"]]
+            if params.get("cursor_gte") is not None:
+                rows = [r for r in rows if r["updated"] >= params["cursor_gte"]]
+            start = int(params["after"] or 0)
+            page = rows[start : start + params["limit"]]
+            nxt = start + params["limit"]
+            return Page(records=page,
+                        next_after=str(nxt) if nxt < len(rows) else None)
+
+    api = TieApi(n=2500, cap=1000)
+    for r in api.rows:
+        r["updated"] = 1000  # every row shares the boundary cursor value
+    stream = RestStream("hub", "contacts", cursor_field="updated",
+                        page_size=100, search_cap=1000)
+    got = fetch_records(api.fetch, stream)
+    assert {r["id"] for r in got} == {r["id"] for r in api.rows}
+    assert stream.stats.get("cap_overruns", 0) >= 1
+    # exactly one restart arms the gte boundary; the stuck boundary is
+    # then detected instead of looping
+    assert stream.stats["restarts"] <= 1
+    assert api.calls <= 60  # terminates promptly, no unbounded refetch
+
+
+def test_tied_then_advancing_cursor_rearms_restart():
+    # ties at the cap boundary, then newer rows: after the overrun pages
+    # drain the tied value, a newer boundary re-arms the restart path
+    class TieApi(FakeApi):
+        def fetch(self, params):
+            self.calls += 1
+            rows = self.rows
+            if params.get("cursor_gt") is not None:
+                rows = [r for r in rows if r["updated"] > params["cursor_gt"]]
+            if params.get("cursor_gte") is not None:
+                rows = [r for r in rows if r["updated"] >= params["cursor_gte"]]
+            start = int(params["after"] or 0)
+            page = rows[start : start + params["limit"]]
+            nxt = start + params["limit"]
+            return Page(records=page,
+                        next_after=str(nxt) if nxt < len(rows) else None)
+
+    api = TieApi(n=3000, cap=1000)
+    for i, r in enumerate(api.rows):
+        r["updated"] = 1000 if i < 1500 else 2000 + i
+    stream = RestStream("hub", "contacts", cursor_field="updated",
+                        page_size=100, search_cap=1000)
+    got = fetch_records(api.fetch, stream)
+    assert {r["id"] for r in got} == {r["id"] for r in api.rows}
+    assert stream.stats["restarts"] >= 2  # re-armed after the tie drains
