@@ -5,10 +5,14 @@ TWO parallelism levels (the sandbox stand-in for N vs 4N executors,
 BASELINE.md scaling row) plus streaming replay and the main analytic
 operators at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line:
+Prints ONE compact JSON line LAST (the driver's bounded tail capture
+must never truncate it):
   {"metric": ..., "value": <total sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": ...,
-   "scaling": {...}, "config": {...}}
+   "scaling": {rule_pair, secondary_pair}, "recall": {...},
+   "detail_file": "BENCH_DETAIL.json"}
+The verbose evidence (phase breakdown, hardware ceiling, commit cost,
+stats-skip, config) is written to BENCH_DETAIL.json next to this file.
 """
 
 from __future__ import annotations
@@ -130,26 +134,20 @@ def _stream_replay(spark, log_dir: str, sink_mode: str = "cow") -> float:
     return time.perf_counter() - t0
 
 
-def _cpu_ceiling() -> dict:
-    """Raw multiprocessing hash throughput at 1/N/4N procs — the HARDWARE
-    scaling ceiling of this box (vCPU oversubscription / SMT). A Spark job
-    cannot scale better than pure CPU work does; this contextualizes the
-    Spark efficiency numbers."""
+def _ceiling_probe(n: int, iters: int = 2_000_000) -> float:
+    """Raw multiprocessing hash throughput at n procs — the HARDWARE
+    scaling ceiling of this box (vCPU oversubscription / SMT / tenancy).
+    A Spark job cannot scale better than pure CPU work does. Probed
+    IMMEDIATELY around each replay level so the ceiling reflects host
+    conditions DURING that measurement, not some other moment — the
+    driver's round-2 run showed host throughput shifting between the
+    pair legs, which silently poisons a raw efficiency ratio."""
     import multiprocessing as mp
 
-    out = {}
-    for n in (SCALE_LOW, SCALE_HIGH, CPUS):
-        iters = 2_000_000
-        t0 = time.perf_counter()
-        with mp.Pool(n) as p:
-            p.map(_burn_global, [iters] * n)
-        out[f"hashes_per_sec_{n}p"] = round(n * iters / (time.perf_counter() - t0), 0)
-    out["hw_efficiency_low_to_high"] = round(
-        (out[f"hashes_per_sec_{SCALE_HIGH}p"] / out[f"hashes_per_sec_{SCALE_LOW}p"])
-        / (SCALE_HIGH / SCALE_LOW),
-        3,
-    )
-    return out
+    t0 = time.perf_counter()
+    with mp.Pool(n) as p:
+        p.map(_burn_global, [iters] * n)
+    return round(n * iters / (time.perf_counter() - t0), 0)
 
 
 def _burn_global(n):
@@ -179,18 +177,33 @@ def main() -> None:
         _bench_changelog(SCALE_EVENTS) if SCALE_EVENTS != N_EVENTS else log_dir
     )
     t_by_cores = {}
+    ceil_by_cores: dict[int, float] = {}
     for cores in sorted({SCALE_LOW, SCALE_HIGH, LOW_CPUS, CPUS}):
+        # ceiling probe interleaved BEFORE and AFTER each level's replays
+        # (same-window host capacity, see _ceiling_probe); keep the mean
+        probe_pre = _ceiling_probe(cores)
         spark = _fresh_spark(cores)
         t_by_cores[cores] = min(
             _replay(spark, scale_log, f"scale{cores}-a", cores=cores),
             _replay(spark, scale_log, f"scale{cores}-b", warmup=False,
                     cores=cores),
         )
+        probe_post = _ceiling_probe(cores)
+        ceil_by_cores[cores] = (probe_pre + probe_post) / 2.0
         results[f"cdc_replay_bulk_local{cores}"] = round(t_by_cores[cores], 3)
     t_low, t_high = t_by_cores[LOW_CPUS], t_by_cores[CPUS]
 
+    def _hw_eff(lo: int, hi: int) -> float:
+        return round(
+            (ceil_by_cores[hi] / ceil_by_cores[lo]) / (hi / lo), 3
+        )
+
     tp_s_low = SCALE_EVENTS / t_by_cores[SCALE_LOW]
     tp_s_high = SCALE_EVENTS / t_by_cores[SCALE_HIGH]
+    eff_rule = round((tp_s_high / tp_s_low) / (SCALE_HIGH / SCALE_LOW), 3)
+    eff_sec = round((t_low / t_high) / (CPUS / LOW_CPUS), 3)
+    hw_rule = _hw_eff(SCALE_LOW, SCALE_HIGH)
+    hw_sec = _hw_eff(LOW_CPUS, CPUS)
     scaling = {
         "rule_pair": {
             "n_events": SCALE_EVENTS,
@@ -199,9 +212,14 @@ def main() -> None:
             "events_per_sec_low": round(tp_s_low, 1),
             "events_per_sec_high": round(tp_s_high, 1),
             "speedup": round(tp_s_high / tp_s_low, 3),
-            "efficiency": round(
-                (tp_s_high / tp_s_low) / (SCALE_HIGH / SCALE_LOW), 3
-            ),
+            "efficiency": eff_rule,
+            # same-run hardware ceiling for this pair, and efficiency
+            # normalized to it: 1.0 = the job scales exactly as well as
+            # pure CPU work can on this box during this window
+            "hw_efficiency_same_run": hw_rule,
+            "efficiency_ceiling_normalized": round(eff_rule / hw_rule, 3)
+            if hw_rule
+            else None,
         },
         "secondary_pair": {
             # timed over scale_log — its event count, not N_EVENTS
@@ -211,9 +229,19 @@ def main() -> None:
             "events_per_sec_low": round(SCALE_EVENTS / t_low, 1),
             "events_per_sec_high": round(SCALE_EVENTS / t_high, 1),
             "speedup": round(t_low / t_high, 3),
-            "efficiency": round((t_low / t_high) / (CPUS / LOW_CPUS), 3),
+            "efficiency": eff_sec,
+            "hw_efficiency_same_run": hw_sec,
+            "efficiency_ceiling_normalized": round(eff_sec / hw_sec, 3)
+            if hw_sec
+            else None,
         },
-        "hardware_ceiling": _cpu_ceiling(),
+        "hardware_ceiling": {
+            **{
+                f"hashes_per_sec_{n}p": ceil_by_cores[n]
+                for n in sorted(ceil_by_cores)
+            },
+            "hw_efficiency_low_to_high": hw_rule,
+        },
         "phase_breakdown": {
             str(c): PHASES_BY_CORES[c] for c in sorted(PHASES_BY_CORES)
         },
@@ -407,30 +435,66 @@ def main() -> None:
     shutil.rmtree(stab_dir, ignore_errors=True)
 
     total = round(sum(results.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "cdc_replay_and_operator_suite_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": results,
-                "sf": SF_DIR,
-                "scaling": scaling,
-                "recall": recall,
-                "commit_cost": commit_cost,
-                "stats_skip": stats_skip,
-                "config": {
-                    "n_events": N_EVENTS,
-                    "master_high": f"local[{CPUS}]",
-                    "master_low": f"local[{LOW_CPUS}]",
-                    "shuffle_partitions": "max(cores, 64)",
-                    "n_buckets": 32,
-                    "aqe": True,
-                    "seed": SEED,
-                },
-            }
-        )
+    # The driver captures a BOUNDED TAIL of stdout: the round-2 verbose
+    # single-line payload got its head truncated and parsed as null. So:
+    # verbose evidence (phase breakdown, commit cost, stats-skip, config)
+    # goes to a sidecar FILE, and the LAST stdout line is a compact
+    # machine-readable JSON with only what the gate grades — per-query
+    # timings, scaling efficiencies (raw + ceiling-normalized), recall.
+    detail = {
+        "metric": "cdc_replay_and_operator_suite_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": results,
+        "sf": SF_DIR,
+        "scaling": scaling,
+        "recall": recall,
+        "commit_cost": commit_cost,
+        "stats_skip": stats_skip,
+        "config": {
+            "n_events": N_EVENTS,
+            "master_high": f"local[{CPUS}]",
+            "master_low": f"local[{LOW_CPUS}]",
+            "shuffle_partitions": "max(cores, 64)",
+            "n_buckets": 32,
+            "aqe": True,
+            "seed": SEED,
+        },
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1)
+
+    def _pair_compact(p: dict) -> dict:
+        return {
+            k: p[k]
+            for k in (
+                "cores_low",
+                "cores_high",
+                "events_per_sec_low",
+                "events_per_sec_high",
+                "efficiency",
+                "hw_efficiency_same_run",
+                "efficiency_ceiling_normalized",
+            )
+        }
+
+    compact = {
+        "metric": "cdc_replay_and_operator_suite_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": results,
+        "sf": SF_DIR,
+        "scaling": {
+            "rule_pair": _pair_compact(scaling["rule_pair"]),
+            "secondary_pair": _pair_compact(scaling["secondary_pair"]),
+        },
+        "recall": recall,
+        "detail_file": "BENCH_DETAIL.json",
+    }
+    print(json.dumps(compact), flush=True)
 
 
 if __name__ == "__main__":
