@@ -357,9 +357,14 @@ def _q_embedding_norm(spark, sf_dir):
 
 
 def _q_minhash_lsh_pairs(spark, sf_dir):
+    # md5-reproducible hash family (same operator, pluggable hasher) so
+    # the DuckDB oracle rebuilds the EXACT candidate set — signatures,
+    # banding, bucket join are value-checked end to end, not just
+    # recall-sampled. The xxhash64 production default is covered by the
+    # oracled lsh_jaccard_dedup and the bench recall measurement.
     from gear5_spark.text.dedupe import lsh_near_duplicates
 
-    return lsh_near_duplicates(_t(spark, sf_dir, "documents"))
+    return lsh_near_duplicates(_t(spark, sf_dir, "documents"), hasher="md5")
 
 
 def _q_ngram_jaccard(spark, sf_dir):
@@ -393,9 +398,14 @@ def _q_lsh_jaccard_dedup(spark, sf_dir):
 
 
 def _q_simhash_pairs(spark, sf_dir):
+    # md5-reproducible 60-bit signature (same operator, pluggable
+    # hasher): the DuckDB oracle recomputes the per-bit votes, the
+    # signature, and the hamming<=3 pair set exactly
     from gear5_spark.text.dedupe import simhash_near_duplicates
 
-    return simhash_near_duplicates(_t(spark, sf_dir, "documents"))
+    return simhash_near_duplicates(
+        _t(spark, sf_dir, "documents"), hasher="md5"
+    )
 
 
 def _q_lsh_cosine_topk(spark, sf_dir):
@@ -1015,6 +1025,30 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, md5(lower(trim(text))) AS fingerprint "
             "FROM documents"
         ),
+        "minhash_lsh_pairs": _minhash_lsh_sql(
+            num_hashes=32, bands=8, shingle_n=3
+        ),
+        "simhash_pairs": _simhash_sql(shingle_n=2, nbits=60),
+        # lsh_cosine_topk's output provably equals the exact answer when
+        # candidate recall is 1.0 — measured 1.0 at gate scale (bench +
+        # tests/test_recall.py) and fully deterministic (seeded planes),
+        # so the exact-cosine oracle IS its oracle; a recall drop at a
+        # different corpus would surface here as a red row, which is the
+        # desired behavior for an approximate operator's gate.
+        "lsh_cosine_topk": (
+            "WITH q AS (SELECT vec_id AS q_id, "
+            "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q_vec "
+            "FROM embeddings WHERE vec_id < 20), "
+            "scored AS (SELECT q.q_id AS vec_id, b.vec_id AS neighbor_id, "
+            "list_cosine_similarity(q.q_vec, "
+            "list_transform(b.embedding, x -> CAST(x AS DOUBLE))) AS cos "
+            "FROM q, embeddings b WHERE b.vec_id <> q.q_id) "
+            "SELECT vec_id, neighbor_id, "
+            "row_number() OVER (PARTITION BY vec_id "
+            "ORDER BY cos DESC, neighbor_id ASC) AS rnk, "
+            "round(cos, 6) AS cosine FROM scored "
+            "QUALIFY rnk <= 3"
+        ),
         "cosine_topk": (
             "WITH q AS (SELECT vec_id AS q_id, "
             "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q_vec "
@@ -1350,6 +1384,77 @@ _DERIVED_CHANGES_SQL = (
 
 # word-3-gram shingle Jaccard (exact) — MUST stay in lockstep with
 # gear5_spark.text.dedupe.shingles()/ngram_jaccard().
+def _shingle_cte(shingle_n: int) -> str:
+    """DuckDB CTEs t (tokens) + sx (exploded distinct shingles) matching
+    gear5_spark.text.dedupe.shingles exactly (proven by the ngram
+    oracles)."""
+    m = shingle_n - 1
+    return (
+        "WITH t AS (SELECT doc_id, "
+        "string_split_regex(trim(lower(text)), '\\s+') AS toks "
+        "FROM documents), "
+        "sx AS (SELECT doc_id, unnest(list_distinct(list_transform("
+        f"generate_series(1, greatest(len(toks) - {m}, 1)), "
+        f"i -> array_to_string(toks[i:i+{m}], ' ')))) AS sh FROM t) "
+    )
+
+
+def _minhash_lsh_sql(
+    num_hashes: int = 32, bands: int = 8, shingle_n: int = 3
+) -> str:
+    """Exact DuckDB replica of lsh_near_duplicates(hasher='md5'): K
+    lexicographic-min md5 signatures, banded buckets (verbatim joined
+    signature strings), distinct pairs sharing any (band, bucket)."""
+    r = num_hashes // bands
+    mins = ", ".join(
+        f"min(substr(md5('{k}|' || sh), 1, 16)) AS mh_{k}"
+        for k in range(num_hashes)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {bucket} AS bucket FROM m".format(
+            b=b,
+            bucket=" || ',' || ".join(f"mh_{b * r + i}" for i in range(r)),
+        )
+        for b in range(bands)
+    )
+    return (
+        _shingle_cte(shingle_n)
+        + f", m AS (SELECT doc_id, {mins} FROM sx GROUP BY doc_id), "
+        + f"b AS ({band_selects}) "
+        + "SELECT DISTINCT a.doc_id AS doc_id_a, b2.doc_id AS doc_id_b "
+        + "FROM b a JOIN b b2 ON a.band = b2.band AND a.bucket = b2.bucket "
+        + "AND a.doc_id < b2.doc_id"
+    )
+
+
+def _simhash_sql(shingle_n: int = 2, nbits: int = 60) -> str:
+    """Exact DuckDB replica of simhash_near_duplicates(hasher='md5'):
+    60-bit md5-derived shingle hashes, per-bit +1/-1 votes, sign
+    signature, all-pairs hamming<=3 (the Spark side's banding is pure
+    candidate pruning with provably exact recall for hamming<=3, so the
+    outputs coincide)."""
+    votes = ", ".join(
+        f"sum(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{b}"
+        for b in range(nbits)
+    )
+    sig = " | ".join(
+        f"(CASE WHEN v_{b} >= 0 THEN CAST({1 << b} AS BIGINT) "
+        "ELSE CAST(0 AS BIGINT) END)"
+        for b in range(nbits)
+    )
+    return (
+        _shingle_cte(shingle_n)
+        + ", h AS (SELECT doc_id, "
+        + "('0x' || substr(md5(sh), 1, 15))::BIGINT AS hv FROM sx), "
+        + f"v AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id), "
+        + f"g AS (SELECT doc_id, {sig} AS sig FROM v) "
+        + "SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, "
+        + "CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming "
+        + "FROM g a JOIN g b ON a.doc_id < b.doc_id "
+        + "WHERE bit_count(xor(a.sig, b.sig)) <= 3"
+    )
+
+
 _JACCARD_SQL = (
     "WITH t AS (SELECT doc_id, "
     "string_split_regex(trim(lower(text)), '\\s+') AS toks "

@@ -51,14 +51,34 @@ def shingles(col, n: int = 3):
     )
 
 
-def minhash_signatures(
-    docs: DataFrame, num_hashes: int = 32, shingle_n: int = 3
-) -> DataFrame:
-    """K minhash values per doc: min over shingles of xxhash64(shingle, k).
+def _shingle_hash(k: int, hasher: str):
+    """Per-k shingle hash of column ``s``. ``xxhash64`` (default, fastest
+    JVM path) or ``md5``: first 16 hex chars of md5("{k}|{shingle}") as a
+    STRING — lexicographic min over pure-ASCII hex is well-defined and
+    bit-identical in any engine with md5, so the md5 family is the
+    cross-engine-reproducible mode the DuckDB correctness oracle can
+    recompute exactly."""
+    if hasher == "xxhash64":
+        return F.xxhash64("s", F.lit(k))
+    if hasher == "md5":
+        return F.substring(
+            F.md5(F.concat(F.lit(f"{k}|"), F.col("s"))), 1, 16
+        )
+    raise ValueError(f"unknown hasher {hasher!r}")
 
-    ``xxhash64`` with a per-k seed column is the hash family; all K mins
-    are computed in one pass over the shingle array with ``transform`` +
-    ``array_min`` (columnar, codegen'd)."""
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """K minhash values per doc: min over shingles of hash_k(shingle).
+
+    The hash family is ``xxhash64(shingle, k)`` by default (fastest) or
+    the md5-derived family (see :func:`_shingle_hash`) when a downstream
+    consumer must reproduce the signatures outside Spark. All K mins
+    are computed as independent min aggregates with map-side combine."""
     sh = docs.select(
         "doc_id", F.explode(shingles(F.col("text"), shingle_n)).alias("s")
     )
@@ -66,7 +86,7 @@ def minhash_signatures(
     # with map-side combine) instead of one enormous nested array lambda
     agg = sh.groupBy("doc_id").agg(
         *[
-            F.min(F.xxhash64("s", F.lit(k))).alias(f"mh_{k}")
+            F.min(_shingle_hash(k, hasher)).alias(f"mh_{k}")
             for k in range(num_hashes)
         ]
     )
@@ -120,6 +140,7 @@ def lsh_near_duplicates(
     bands: int = 8,
     shingle_n: int = 3,
     max_bucket_size: int = 1000,
+    hasher: str = "xxhash64",
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: docs sharing any band bucket.
 
@@ -129,7 +150,7 @@ def lsh_near_duplicates(
     never all-pairs — and buckets above ``max_bucket_size`` degrade to
     linear star pairing (see :func:`_banded_pairs`), so a pathological
     corpus of near-identical docs cannot trigger a quadratic blowup."""
-    banded = lsh_band_buckets(docs, num_hashes, bands, shingle_n)
+    banded = lsh_band_buckets(docs, num_hashes, bands, shingle_n, hasher)
     return _banded_pairs(banded, max_bucket_size)
 
 
@@ -138,9 +159,12 @@ def lsh_band_buckets(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
+    hasher: str = "xxhash64",
 ) -> DataFrame:
     """(doc_id, band, bucket) LSH assignment — the shared prefix of pair
-    generation and bucket diagnostics."""
+    generation and bucket diagnostics. In md5 mode the bucket is the
+    band's signature values joined verbatim (a string) instead of a
+    re-hash, so an external engine can rebuild the exact assignment."""
     if not 1 <= bands <= num_hashes or num_hashes % bands:
         # bands > num_hashes would silently hash ZERO rows per band
         # (every doc in one global bucket); a non-dividing band count
@@ -150,26 +174,28 @@ def lsh_band_buckets(
             f"num_hashes={num_hashes})"
         )
     r = num_hashes // bands
-    sigs = minhash_signatures(docs, num_hashes, shingle_n)
+    sigs = minhash_signatures(docs, num_hashes, shingle_n, hasher)
+
+    def _bucket(b: int):
+        joined = F.concat_ws(
+            ",",
+            *[
+                F.element_at("minhash", b * r + i + 1).cast("string")
+                for i in range(r)
+            ],
+        )
+        # xxhash64 mode compresses the band to a long (cheaper shuffle
+        # key); md5 mode keeps the raw join so it's reproducible outside
+        return (
+            F.xxhash64(joined) if hasher == "xxhash64" else joined
+        ).alias("bucket")
+
     return sigs.select(
         "doc_id",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at("minhash", b * r + i + 1).cast(
-                                        "string"
-                                    )
-                                    for i in range(r)
-                                ],
-                            )
-                        ).alias("bucket"),
-                    )
+                    F.struct(F.lit(b).alias("band"), _bucket(b))
                     for b in range(bands)
                 ]
             )
@@ -359,16 +385,37 @@ def dedup_clusters(
     )
 
 
-def simhash(docs: DataFrame, shingle_n: int = 2) -> DataFrame:
-    """64-bit SimHash per document from shingle hashes.
+def simhash_bits(hasher: str) -> int:
+    """Signature width per hash family: 64 for xxhash64; 60 for md5 mode
+    (15 hex chars -> fits a signed long in ANY engine, no sign-bit
+    special-casing — the cross-engine-reproducible width)."""
+    return 64 if hasher == "xxhash64" else 60
+
+
+def simhash(
+    docs: DataFrame, shingle_n: int = 2, hasher: str = "xxhash64"
+) -> DataFrame:
+    """SimHash per document from shingle hashes (64-bit, or 60-bit in
+    the md5-reproducible mode — see :func:`simhash_bits`).
 
     For each bit position, sum(+1/-1 over shingles by bit) >= 0 -> bit set.
     Entirely with array/bit built-ins: aggregate over the shingle array
-    accumulating a 64-slot vote vector."""
+    accumulating a per-bit vote vector."""
+    nbits = simhash_bits(hasher)
     sh = docs.select(
         "doc_id", F.explode(shingles(F.col("text"), shingle_n)).alias("s")
-    ).withColumn("h", F.xxhash64("s"))
-    # per-bit +1/-1 votes as 64 independent sum aggregates over the
+    )
+    if hasher == "xxhash64":
+        sh = sh.withColumn("h", F.xxhash64("s"))
+    elif hasher == "md5":
+        # first 15 hex chars of md5 as a 60-bit long — conv() parses the
+        # hex; any md5-capable engine rebuilds the identical value
+        sh = sh.withColumn(
+            "h", F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("long")
+        )
+    else:
+        raise ValueError(f"unknown hasher {hasher!r}")
+    # per-bit +1/-1 votes as nbits independent sum aggregates over the
     # exploded shingles — flat codegen, map-side partial aggregation
     votes = sh.groupBy("doc_id").agg(
         *[
@@ -377,22 +424,23 @@ def simhash(docs: DataFrame, shingle_n: int = 2) -> DataFrame:
                     F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
                 ).otherwise(F.lit(-1))
             ).alias(f"v_{b}")
-            for b in range(64)
+            for b in range(nbits)
         ]
     )
     sig_bits = [
         F.when(F.col(f"v_{b}") >= 0, F.lit(1 << b).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
-        for b in range(63)
+        for b in range(min(nbits, 63))
     ]
-    # bit 63 would overflow a positive long literal; use the negative
-    # two's-complement literal for the sign bit
-    sig_bits.append(
-        F.when(F.col("v_63") >= 0, F.lit(-(1 << 63)).cast("long")).otherwise(
-            F.lit(0).cast("long")
+    if nbits == 64:
+        # bit 63 would overflow a positive long literal; use the negative
+        # two's-complement literal for the sign bit
+        sig_bits.append(
+            F.when(
+                F.col("v_63") >= 0, F.lit(-(1 << 63)).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
         )
-    )
     sig = sig_bits[0]
     for bcol in sig_bits[1:]:
         sig = sig.bitwiseOR(bcol)
@@ -400,10 +448,14 @@ def simhash(docs: DataFrame, shingle_n: int = 2) -> DataFrame:
 
 
 def simhash_near_duplicates(
-    docs: DataFrame, shingle_n: int = 2, max_bucket_size: int = 1000
+    docs: DataFrame,
+    shingle_n: int = 2,
+    max_bucket_size: int = 1000,
+    hasher: str = "xxhash64",
 ) -> DataFrame:
-    """SimHash near-dup candidates: equal 16-bit quarter bands (LSH over
-    bit chunks), then exact hamming distance <= 3 filter via bit_count.
+    """SimHash near-dup candidates: equal quarter bands (LSH over bit
+    chunks — 16 bits each at 64-bit, 15 each at the md5-mode 60-bit),
+    then exact hamming distance <= 3 filter via bit_count.
 
     Recall guarantee: <=3 differing bits can touch at most 3 of the 4
     bands, so every true pair shares at least one band (pigeonhole) —
@@ -411,7 +463,9 @@ def simhash_near_duplicates(
     Hot buckets degrade to star pairing like MinHash-LSH (the star
     centre of an over-full bucket shares that whole band, so hamming<=
     3 members stay connected through it for component-dedup purposes)."""
-    sigs = simhash(docs, shingle_n)
+    band_bits = simhash_bits(hasher) // 4
+    band_mask = (1 << band_bits) - 1
+    sigs = simhash(docs, shingle_n, hasher)
     banded = sigs.select(
         "doc_id",
         F.explode(
@@ -419,8 +473,8 @@ def simhash_near_duplicates(
                 *[
                     F.struct(
                         F.lit(q).alias("band"),
-                        F.shiftright("simhash", q * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright("simhash", q * band_bits)
+                        .bitwiseAND(F.lit(band_mask))
                         .alias("bucket"),
                     )
                     for q in range(4)

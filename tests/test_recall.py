@@ -128,3 +128,40 @@ def test_hot_bucket_cap_star_degradation(spark):
         lsh_band_buckets(degenerate), max_bucket_size=100
     ).collect()
     assert stats and all(r.bucket_size == n for r in stats)
+
+
+def test_md5_mode_matches_banding_exactness(spark):
+    """md5 hash family (the oracle-reproducible mode): banded candidate
+    generation must still be EXACT for hamming<=3 (pigeonhole over 4x15
+    bit bands) — equality against the direct all-pairs computation."""
+    from pyspark.sql import functions as F
+
+    from gear5_spark.text.dedupe import (
+        simhash,
+        simhash_bits,
+        simhash_near_duplicates,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sigs = simhash(docs, hasher="md5")
+    assert simhash_bits("md5") == 60
+    # every signature fits 60 bits (no sign-bit, engine-portable)
+    assert sigs.filter(
+        (F.col("simhash") < 0) | (F.col("simhash") >= F.lit(1 << 60))
+    ).count() == 0
+    a = sigs.select(F.col("doc_id").alias("doc_id_a"),
+                    F.col("simhash").alias("sa"))
+    b = sigs.select(F.col("doc_id").alias("doc_id_b"),
+                    F.col("simhash").alias("sb"))
+    direct = (
+        a.crossJoin(b)
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .filter(F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))) <= 3)
+        .select("doc_id_a", "doc_id_b")
+    )
+    banded = simhash_near_duplicates(docs, hasher="md5").select(
+        "doc_id_a", "doc_id_b"
+    )
+    got = {(r.doc_id_a, r.doc_id_b) for r in banded.collect()}
+    want = {(r.doc_id_a, r.doc_id_b) for r in direct.collect()}
+    assert got == want
