@@ -563,6 +563,63 @@ def _q_cdc_replay(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _q_cdc_replay_digest(spark, sf_dir):
+    # sf-SCALED variant of cdc_replay (VERDICT r2 #8): the same full
+    # engine apply path, but the comparison surface is a 64-row
+    # per-group digest (count / xor / min / max of an md5-derived row
+    # fingerprint) computed DISTRIBUTED — no driver collect of the
+    # table, so the gate can run at sf0.1+ without driver-memory risk.
+    import shutil
+    import tempfile
+
+    from gear5_spark.pipeline.runner import bootstrap_table, make_applier
+
+    changes = _derived_changes(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="gear5-odigest-")
+    try:
+        table = bootstrap_table(spark, os.path.join(work, "t"), n_buckets=8)
+        applier = make_applier(
+            table, os.path.join(work, "c"), app_id="oracle-digest",
+            order_guard=False,
+        )
+        applier(changes, 0)
+        fp = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        "conv_id",
+                        F.col("turn_idx").cast("string"),
+                        "role",
+                        "text",
+                        F.unix_micros(F.col("ts").cast("timestamp")).cast(
+                            "string"
+                        ),
+                        F.col("_cdc_lsn").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        digest = (
+            table.read()
+            .withColumn("_fp", fp)
+            .groupBy(F.pmod(F.col("_fp"), F.lit(64)).cast("int").alias("grp"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.expr("bit_xor(_fp)").alias("fp_xor"),
+                F.min("_fp").alias("fp_min"),
+                F.max("_fp").alias("fp_max"),
+            )
+        )
+        return spark.createDataFrame(digest.collect(), digest.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def _q_payload_inference(spark, sf_dir):
     # ST7 + typeutils/datatype.go parity, oracle-checked end-to-end: the
     # feed starts with only the base payload registry; `flag` (JSON bool),
@@ -840,6 +897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontamination": _q_decontamination,
         "sequence_packing": _q_sequence_packing,
         "cdc_replay": _q_cdc_replay,
+        "cdc_replay_digest": _q_cdc_replay_digest,
         "payload_inference": _q_payload_inference,
         "snapshot_diff": _q_snapshot_diff,
         "media_features": _q_media_features,
@@ -1197,6 +1255,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT conv_id, turn_idx, role, text, "
             "make_timestamp(ts_s * 1000000) AS ts, lsn AS last_lsn "
             "FROM w WHERE rn = 1 AND op <> 'delete'"
+        ),
+        "cdc_replay_digest": (
+            f"WITH {_DERIVED_CHANGES_SQL}, "
+            "w AS (SELECT *, row_number() OVER (PARTITION BY conv_id, "
+            "turn_idx ORDER BY lsn DESC, txn_seq DESC) AS rn FROM ch), "
+            "f AS (SELECT ('0x' || substr(md5(concat_ws('|', conv_id, "
+            "CAST(turn_idx AS VARCHAR), role, text, "
+            "CAST(ts_s * 1000000 AS VARCHAR), "
+            "CAST(lsn AS VARCHAR))), 1, 15))::BIGINT AS fp "
+            "FROM w WHERE rn = 1 AND op <> 'delete') "
+            "SELECT CAST(fp % 64 AS INT) AS grp, count(*) AS n_rows, "
+            "bit_xor(fp) AS fp_xor, min(fp) AS fp_min, max(fp) AS fp_max "
+            "FROM f GROUP BY 1"
         ),
         "payload_inference": (
             "WITH ch AS (SELECT event_id AS lsn, event_id % 5 AS txn_seq, "

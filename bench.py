@@ -64,7 +64,13 @@ def _fresh_spark(cores: int):
         app_name=f"gear5-bench-{cores}",
         master=f"local[{cores}]",
         shuffle_partitions=parts,
-        extra_conf={"spark.local.dir": f"{BENCH_WORK_ROOT}/spark-tmp"},
+        extra_conf={
+            "spark.local.dir": f"{BENCH_WORK_ROOT}/spark-tmp",
+            # UI on (random port) for per-phase stage metrics — the
+            # evidence layer behind phase_breakdown (perf.stage_metrics)
+            "spark.ui.enabled": "true",
+            "spark.ui.port": "0",
+        },
     )
 
 
@@ -95,19 +101,25 @@ def _replay(spark, log_dir: str, tag: str, warmup: bool = True,
         replay_batch(spark, f"{wdir}/log", wt, checkpoint_dir=f"{wdir}/ckpt")
     table = bootstrap_table(spark, f"{work}/table", n_buckets=32)
     perf.reset()
+    perf.track(spark, prefix=f"{tag}|")
     t0 = time.perf_counter()
     replay_batch(spark, log_dir, table, checkpoint_dir=f"{work}/ckpt")
     elapsed = time.perf_counter() - t0
     if cores is not None:
-        # per-phase attribution for the scaling pairs: shows how much of
-        # the wall-clock is engine-fixed (registry/footer-scan/commit)
-        # vs Spark job execution — see VERDICT r1 #3
+        # per-phase attribution for the scaling pairs: wall-clock spans
+        # (engine-fixed vs job time, VERDICT r1 #3) plus Spark stage
+        # metrics per phase (task/CPU/GC time, shuffle, spill, skew —
+        # VERDICT r2 #2's evidence layer)
         prev = PHASES_BY_CORES.get(cores)
         if prev is None or elapsed < prev["total_sec"]:
             PHASES_BY_CORES[cores] = {
                 "total_sec": round(elapsed, 3),
                 "phases": perf.timings(),
+                "stage_metrics": perf.stage_metrics(
+                    spark, prefix=f"{tag}|"
+                ),
             }
+    perf.untrack()
     assert table.read().count() > 0
     shutil.rmtree(work, ignore_errors=True)  # tmpfs: release memory
     return elapsed
@@ -159,6 +171,37 @@ def _burn_global(n):
     return 1
 
 
+def _membw_probe(n: int, mb_per_worker: int = 256, passes: int = 4) -> float:
+    """Aggregate memory STREAMING throughput (MB/s) at n procs. The
+    sha256 ceiling is cache-resident and so measures compute scaling
+    only; the replay's heavy phases (2.5 GB parquet decode + shuffle +
+    persist) are bandwidth-bound — stage metrics show cycles-per-byte
+    inflating 2-8x from 2 to 32 local threads while the sha256 ceiling
+    stays near-linear. This probe makes that ceiling measurable so the
+    bandwidth-bound phases can be judged against the right limit (a
+    multi-executor cluster adds memory channels with every node; one
+    box does not)."""
+    import multiprocessing as mp
+
+    t0 = time.perf_counter()
+    with mp.Pool(n) as p:
+        p.map(_stream_global, [(mb_per_worker, passes)] * n)
+    return round(
+        n * mb_per_worker * passes / (time.perf_counter() - t0), 0
+    )
+
+
+def _stream_global(args):
+    mb, passes = args
+    buf = bytearray(mb * 2**20)
+    acc = 0
+    for _ in range(passes):
+        # bytes(buf) copies the full buffer (read+write stream);
+        # count() reads it — ~3 passes of traffic per iteration
+        acc += bytes(buf).count(b"\x00")
+    return acc
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
 
@@ -178,10 +221,12 @@ def main() -> None:
     )
     t_by_cores = {}
     ceil_by_cores: dict[int, float] = {}
+    bw_by_cores: dict[int, float] = {}
     for cores in sorted({SCALE_LOW, SCALE_HIGH, LOW_CPUS, CPUS}):
         # ceiling probe interleaved BEFORE and AFTER each level's replays
         # (same-window host capacity, see _ceiling_probe); keep the mean
         probe_pre = _ceiling_probe(cores)
+        bw_pre = _membw_probe(cores)
         spark = _fresh_spark(cores)
         t_by_cores[cores] = min(
             _replay(spark, scale_log, f"scale{cores}-a", cores=cores),
@@ -189,7 +234,9 @@ def main() -> None:
                     cores=cores),
         )
         probe_post = _ceiling_probe(cores)
+        bw_post = _membw_probe(cores)
         ceil_by_cores[cores] = (probe_pre + probe_post) / 2.0
+        bw_by_cores[cores] = (bw_pre + bw_post) / 2.0
         results[f"cdc_replay_bulk_local{cores}"] = round(t_by_cores[cores], 3)
     t_low, t_high = t_by_cores[LOW_CPUS], t_by_cores[CPUS]
 
@@ -198,12 +245,17 @@ def main() -> None:
             (ceil_by_cores[hi] / ceil_by_cores[lo]) / (hi / lo), 3
         )
 
+    def _bw_eff(lo: int, hi: int) -> float:
+        return round((bw_by_cores[hi] / bw_by_cores[lo]) / (hi / lo), 3)
+
     tp_s_low = SCALE_EVENTS / t_by_cores[SCALE_LOW]
     tp_s_high = SCALE_EVENTS / t_by_cores[SCALE_HIGH]
     eff_rule = round((tp_s_high / tp_s_low) / (SCALE_HIGH / SCALE_LOW), 3)
     eff_sec = round((t_low / t_high) / (CPUS / LOW_CPUS), 3)
     hw_rule = _hw_eff(SCALE_LOW, SCALE_HIGH)
     hw_sec = _hw_eff(LOW_CPUS, CPUS)
+    bw_rule = _bw_eff(SCALE_LOW, SCALE_HIGH)
+    bw_sec = _bw_eff(LOW_CPUS, CPUS)
     scaling = {
         "rule_pair": {
             "n_events": SCALE_EVENTS,
@@ -217,6 +269,7 @@ def main() -> None:
             # normalized to it: 1.0 = the job scales exactly as well as
             # pure CPU work can on this box during this window
             "hw_efficiency_same_run": hw_rule,
+            "bw_efficiency_same_run": bw_rule,
             "efficiency_ceiling_normalized": round(eff_rule / hw_rule, 3)
             if hw_rule
             else None,
@@ -231,6 +284,7 @@ def main() -> None:
             "speedup": round(t_low / t_high, 3),
             "efficiency": eff_sec,
             "hw_efficiency_same_run": hw_sec,
+            "bw_efficiency_same_run": bw_sec,
             "efficiency_ceiling_normalized": round(eff_sec / hw_sec, 3)
             if hw_sec
             else None,
@@ -240,7 +294,12 @@ def main() -> None:
                 f"hashes_per_sec_{n}p": ceil_by_cores[n]
                 for n in sorted(ceil_by_cores)
             },
+            **{
+                f"membw_mb_per_sec_{n}p": bw_by_cores[n]
+                for n in sorted(bw_by_cores)
+            },
             "hw_efficiency_low_to_high": hw_rule,
+            "bw_efficiency_low_to_high": bw_rule,
         },
         "phase_breakdown": {
             str(c): PHASES_BY_CORES[c] for c in sorted(PHASES_BY_CORES)
@@ -477,6 +536,7 @@ def main() -> None:
                 "events_per_sec_high",
                 "efficiency",
                 "hw_efficiency_same_run",
+                "bw_efficiency_same_run",
                 "efficiency_ceiling_normalized",
             )
         }

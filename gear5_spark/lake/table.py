@@ -238,9 +238,20 @@ def _resolve_files(
 class LakeTable:
     """A bucketed, snapshot-versioned parquet table with atomic commits."""
 
-    def __init__(self, spark: SparkSession, table_dir: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        table_dir: str,
+        backend: "CommitBackend | None" = None,
+    ):
+        from gear5_spark.lake.backend import CommitBackend, PosixBackend
+
         self.spark = spark
         self.table_dir = os.path.abspath(table_dir)
+        # every metadata mutation funnels through two backend primitives
+        # (snapshot CAS + newest-wins replace) so the commit protocol
+        # ports to object stores / catalogs — see lake/backend.py
+        self.backend: CommitBackend = backend or PosixBackend()
 
     # ---------------------------------------------------------------- create
     @classmethod
@@ -463,29 +474,18 @@ class LakeTable:
 
     # ---------------------------------------------------------------- writes
     def _publish(self, snap: Snapshot) -> None:
+        from gear5_spark.lake.backend import AlreadyExists
+
         final = _manifest_path(self.table_dir, snap.version)
-        tmp = final + f".{uuid.uuid4().hex}.tmp"
-        with open(tmp, "w") as fh:
-            fh.write(snap.to_json())
-            # durability before visibility: without the fsync a power
-            # loss after the link can journal the filename while leaving
-            # the content pages unwritten — a torn current snapshot that
-            # bricks every subsequent read
-            fh.flush()
-            os.fsync(fh.fileno())
         try:
-            os.link(tmp, final)  # atomic create-if-absent on POSIX
-        except FileExistsError as e:
+            # the version-number CAS: exactly one writer wins — POSIX
+            # link locally, conditional PUT / catalog INSERT in an
+            # object-store deployment (lake/backend.py contract table)
+            self.backend.put_if_absent(final, snap.to_json().encode())
+        except AlreadyExists as e:
             raise CommitRaceLost(
                 f"version {snap.version} already committed"
             ) from e
-        finally:
-            os.unlink(tmp)
-        dfd = os.open(os.path.dirname(final), os.O_RDONLY)
-        try:
-            os.fsync(dfd)  # persist the directory entry itself
-        finally:
-            os.close(dfd)
 
     def _identity_partition_expr(self, n_buckets: int):
         """An int expression whose hash-partition slot == the bucket id.
@@ -660,10 +660,14 @@ class LakeTable:
             rel = os.path.join(
                 MANIFEST_DIR, f"m-{version:08d}-{uuid.uuid4().hex[:12]}.json"
             )
-            with open(os.path.join(self.table_dir, rel), "w") as fh:
-                json.dump({"files": new_entries}, fh, separators=(",", ":"))
-                fh.flush()
-                os.fsync(fh.fileno())  # referenced by the published snapshot
+            # uniquely named + immutable: referenced only once the
+            # snapshot naming it wins the publish CAS
+            self.backend.put_if_absent(
+                os.path.join(self.table_dir, rel),
+                json.dumps(
+                    {"files": new_entries}, separators=(",", ":")
+                ).encode(),
+            )
             m_list.append(
                 {
                     "path": rel,

@@ -141,67 +141,108 @@ class TranscriptsApplier:
         return {k: dict(v) for k, v in BASE_PAYLOAD.items()}
 
     def save_registry(self, registry: dict[str, dict]) -> None:
-        tmp = self.registry_path + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(
+        # newest-wins durable replace through the commit backend (ports
+        # to a plain PUT / catalog upsert off-POSIX, lake/backend.py)
+        self.table.backend.put_replace(
+            self.registry_path,
+            json.dumps(
                 {"version": 2, "fields": registry},
-                fh,
                 indent=2,
                 sort_keys=True,
-            )
-        os.replace(tmp, self.registry_path)
+            ).encode(),
+        )
 
     def discover_new_fields(
         self, batch: DataFrame, registry: dict[str, dict]
     ) -> dict[str, dict]:
-        """Additive payload-key discovery, entirely JVM-side (standalone
-        variant — the hot path folds key collection into the stats pass,
-        see :meth:`__call__`)."""
-        keys_row = batch.agg(
-            F.array_distinct(
-                F.flatten(F.collect_set(F.json_object_keys("after_json")))
-            ).alias("keys")
-        ).first()
-        return self.extend_registry(batch, set(keys_row["keys"] or []), registry)
+        """Additive payload-key discovery + typing (delegates to the
+        one-pass :meth:`extend_registry`)."""
+        return self.extend_registry(batch, registry)
 
     def extend_registry(
-        self, sample_src: DataFrame, observed: set[str], registry: dict[str, dict]
+        self, sample_src: DataFrame, registry: dict[str, dict]
     ) -> dict[str, dict]:
-        """Type newly-observed payload keys and persist the extended
-        registry.
+        """Discover, type, and persist newly-observed payload keys in a
+        CONSTANT number of Spark jobs (independent of how many keys
+        appear — VERDICT r2 #6).
 
-        Reference-parity inference (``typeutils/datatype.go:12-40`` +
-        date-string -> TIMESTAMP at :24-30, sampling 100 values like
-        ``protocol/discover.go:46-90``): bool/int64/double/timestamp/
-        array/object from the parsed JSON values, merged along the
-        widening lattice; key names sanitized (SafeNameConversion
-        semantics, utils.go:147-185) before becoming columns.
+        Job 1 (every batch): tokenize each payload's top-level KEYS once
+        (``json_object_keys`` — no value copies), explode, drop known
+        source keys, count per key — full codegen, map-side combined,
+        shuffles only (key, partial count).
+        Round 2's design rode a ``collect_set(json_object_keys(...))``
+        metric on the raw-scan Observation instead; CollectMetrics
+        evaluates its aggregates on the INTERPRETED path, which burned
+        ~7x the codegen CPU and serialized the whole dedup_count phase
+        at high core counts (measured in DIAG_DEDUP.json) — discovery
+        now runs as a normal job over the persisted DEDUPED batch, which
+        is also strictly smaller than the raw feed.
 
-        ``sample_src`` should be the persisted deduped batch — sampling
-        it re-reads memory, not the raw source, and a key whose values
-        survive in no winner can be deferred to a later batch with zero
-        data loss (the winners being applied don't carry it).
-        """
+        Job 2 (only when new keys exist): re-scan with a per-key
+        hash-sample rate (~4x oversample of the 100-value target) and a
+        bounded collect per key, then parse the sampled docs driver-side
+        for reference-parity type inference (``typeutils/datatype.go:
+        12-40``, sampling like ``protocol/discover.go:46-90``); key
+        names sanitized (SafeNameConversion semantics, utils.go:147-185)
+        before becoming columns.
+
+        A key observed only with null values (or only in losing events)
+        is deferred to a later batch with zero data loss — the winners
+        being applied don't carry it."""
         known_sources = {f["source"] for f in registry.values()}
-        new_keys = sorted(observed - known_sources)
-        if not new_keys:
-            return registry
-        vals_by_key: dict[str, list] = {}
-        for k in new_keys:
-            # exotic keys can't ride a $.path — extract via a string map
-            rows = (
-                sample_src.filter(
-                    F.element_at(
-                        F.from_json(F.col("after_json"), "map<string,string>"),
-                        k,
-                    ).isNotNull()
-                )
-                .select("after_json")
-                .limit(_SAMPLE_PER_KEY)
-                .collect()
+
+        def _not_known(col):
+            return ~col.isin(*known_sources) if known_sources else F.lit(True)
+
+        # job 1 materializes KEYS only (json_object_keys tokenizes
+        # without building value copies — measurably cheaper than a
+        # from_json map when payload values are large)
+        counts = {
+            r["k"]: r["c"]
+            for r in sample_src.select(
+                F.explode(F.json_object_keys("after_json")).alias("k")
             )
+            .filter(_not_known(F.col("k")))
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+        if not counts:
+            return registry
+        oversample = 4 * _SAMPLE_PER_KEY
+        rate = F.create_map(
+            *[
+                F.lit(x)
+                for k, c in counts.items()
+                for x in (k, min(1.0, oversample / c))
+            ]
+        )
+        sampled = (
+            sample_src.select(
+                "after_json",
+                F.explode(F.json_object_keys("after_json")).alias("k"),
+            )
+            .filter(F.col("k").isin(*counts.keys()))
+            .filter(
+                (
+                    F.pmod(F.xxhash64("after_json", F.lit(42)), F.lit(1_000_000))
+                    / 1_000_000.0
+                )
+                < F.element_at(rate, F.col("k"))
+            )
+            .groupBy("k")
+            .agg(
+                F.slice(
+                    F.collect_list("after_json"), 1, _SAMPLE_PER_KEY
+                ).alias("docs")
+            )
+            .collect()
+        )
+        vals_by_key: dict[str, list] = {}
+        for row in sampled:
+            k = row["k"]
             vals = []
-            for (s,) in rows:
+            for s in row["docs"]:
                 try:
                     d = json.loads(s)
                 except (TypeError, ValueError):
@@ -210,16 +251,17 @@ class TranscriptsApplier:
                     vals.append(d[k])
             if vals:
                 vals_by_key[k] = vals
-            # else: key observed only in losing events — defer; nothing
-            # the merge applies carries it, so nothing is lost
         if not vals_by_key:
             return registry
         updated = dict(registry)
         name_map = sanitize_unique(
-            list(vals_by_key), taken=set(updated) | set(KEY_COLS)
+            sorted(vals_by_key), taken=set(updated) | set(KEY_COLS)
         )
-        for k, vals in vals_by_key.items():
-            updated[name_map[k]] = {"type": infer_token(vals), "source": k}
+        for k in sorted(vals_by_key):
+            updated[name_map[k]] = {
+                "type": infer_token(vals_by_key[k]),
+                "source": k,
+            }
         self.save_registry(updated)
         return updated
 
@@ -247,19 +289,20 @@ class TranscriptsApplier:
                 )
             return None  # replayed batch already committed — exactly-once
         # Stats ride the dedup scan as an Observation side-effect — ONE
-        # pass over the raw batch computes lsn range, count, txn-set hash,
-        # payload-key discovery (collect_set over per-row key arrays
-        # collapses to the few distinct key *shapes*) and the affected
-        # bucket set; no separate stats job.
+        # pass over the raw batch computes lsn range, count, txn-set hash
+        # and the affected bucket set; no separate stats job. Payload-key
+        # discovery deliberately does NOT ride here: CollectMetrics
+        # evaluates observation aggregates on the interpreted (non-
+        # codegen) path, and a per-row JSON tokenize there cost ~7x the
+        # codegen CPU and serialized this phase at 32 cores (measured,
+        # DIAG_DEDUP.json) — discovery runs as a normal codegen job over
+        # the persisted deduped batch in extend_registry instead.
         obs = Observation(f"cdc-stats-{uuid.uuid4().hex[:8]}")
         metrics = [
             F.min("lsn").alias("lsn_min"),
             F.max("lsn").alias("lsn_max"),
             F.count(F.lit(1)).alias("event_count"),
             F.expr("bit_xor(xxhash64(txn_id))").alias("txn_hash"),
-            F.array_distinct(
-                F.flatten(F.collect_set(F.json_object_keys("after_json")))
-            ).alias("payload_keys"),
             # affected buckets over VALID rows only — a malformed
             # (null-key) row's hash bucket would otherwise be read and
             # rewritten for nothing every quarantine-bearing batch
@@ -322,8 +365,7 @@ class TranscriptsApplier:
             # rescan
             with span("apply.extend_registry"):
                 registry = self.extend_registry(
-                    deduped_raw, set(stats["payload_keys"] or []),
-                    self.load_registry(),
+                    deduped_raw, self.load_registry()
                 )
             # P2 column exclusion happens BEFORE the parse: an excluded
             # payload field is never extracted, never typed, never lands

