@@ -219,24 +219,31 @@ def main() -> None:
     scale_log = (
         _bench_changelog(SCALE_EVENTS) if SCALE_EVENTS != N_EVENTS else log_dir
     )
-    t_by_cores = {}
-    ceil_by_cores: dict[int, float] = {}
-    bw_by_cores: dict[int, float] = {}
-    for cores in sorted({SCALE_LOW, SCALE_HIGH, LOW_CPUS, CPUS}):
-        # ceiling probe interleaved BEFORE and AFTER each level's replays
-        # (same-window host capacity, see _ceiling_probe); keep the mean
-        probe_pre = _ceiling_probe(cores)
-        bw_pre = _membw_probe(cores)
-        spark = _fresh_spark(cores)
-        t_by_cores[cores] = min(
-            _replay(spark, scale_log, f"scale{cores}-a", cores=cores),
-            _replay(spark, scale_log, f"scale{cores}-b", warmup=False,
-                    cores=cores),
-        )
-        probe_post = _ceiling_probe(cores)
-        bw_post = _membw_probe(cores)
-        ceil_by_cores[cores] = (probe_pre + probe_post) / 2.0
-        bw_by_cores[cores] = (bw_pre + bw_post) / 2.0
+    t_by_cores: dict[int, float] = {}
+    ceil_samples: dict[int, list[float]] = {}
+    bw_samples: dict[int, list[float]] = {}
+    levels = sorted({SCALE_LOW, SCALE_HIGH, LOW_CPUS, CPUS})
+    # two INTERLEAVED passes over the levels (2,8,32,2,8,32), min per
+    # level: host tenancy on this box drifts on a ~10-minute scale, so
+    # two back-to-back runs of one level share its bad window while the
+    # pair's other level got a good one — interleaving decorrelates the
+    # levels from the drift. Ceiling probes bracket every visit.
+    for rep in range(2):
+        for cores in levels:
+            ceil_samples.setdefault(cores, []).append(_ceiling_probe(cores))
+            bw_samples.setdefault(cores, []).append(_membw_probe(cores))
+            spark = _fresh_spark(cores)
+            t = _replay(
+                spark, scale_log, f"scale{cores}-r{rep}",
+                warmup=(rep == 0),  # one JVM: codegen warms once
+                cores=cores,
+            )
+            t_by_cores[cores] = min(t_by_cores.get(cores, t), t)
+            ceil_samples[cores].append(_ceiling_probe(cores))
+            bw_samples[cores].append(_membw_probe(cores))
+    ceil_by_cores = {c: max(v) for c, v in ceil_samples.items()}
+    bw_by_cores = {c: max(v) for c, v in bw_samples.items()}
+    for cores in levels:
         results[f"cdc_replay_bulk_local{cores}"] = round(t_by_cores[cores], 3)
     t_low, t_high = t_by_cores[LOW_CPUS], t_by_cores[CPUS]
 
@@ -273,6 +280,12 @@ def main() -> None:
             "efficiency_ceiling_normalized": round(eff_rule / hw_rule, 3)
             if hw_rule
             else None,
+            # the replay's heavy phases are bandwidth-bound (see
+            # SCALING.md); when the bw ceiling is the binding one this
+            # is the honest normalization
+            "efficiency_bw_normalized": round(eff_rule / bw_rule, 3)
+            if bw_rule
+            else None,
         },
         "secondary_pair": {
             # timed over scale_log — its event count, not N_EVENTS
@@ -287,6 +300,9 @@ def main() -> None:
             "bw_efficiency_same_run": bw_sec,
             "efficiency_ceiling_normalized": round(eff_sec / hw_sec, 3)
             if hw_sec
+            else None,
+            "efficiency_bw_normalized": round(eff_sec / bw_sec, 3)
+            if bw_sec
             else None,
         },
         "hardware_ceiling": {
@@ -538,6 +554,7 @@ def main() -> None:
                 "hw_efficiency_same_run",
                 "bw_efficiency_same_run",
                 "efficiency_ceiling_normalized",
+                "efficiency_bw_normalized",
             )
         }
 
