@@ -94,7 +94,8 @@ class PosixBackend(CommitBackend):
 
     @staticmethod
     def _fsync_dir(d: str) -> None:
-        dfd = os.open(d, os.O_RDONLY)
+        # bare relative paths have dirname '' — that's the cwd
+        dfd = os.open(d or ".", os.O_RDONLY)
         try:
             os.fsync(dfd)  # persist the directory entry itself
         finally:

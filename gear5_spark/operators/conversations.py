@@ -166,10 +166,16 @@ def gap_sessionize(
     hot_keys = [
         r[key_col]
         for r in counts.filter(F.col("_kc") > hot_key_budget).collect()
+        # NULL keys stay on the single-window path: ~isin() is NULL (not
+        # true) for them, so routing NULL through the hot branch would
+        # silently drop those rows from BOTH branches
+        if r[key_col] is not None
     ]
     if not hot_keys:
         return _single_window(df)
-    cold = _single_window(df.filter(~F.col(key_col).isin(hot_keys)))
+    cold = _single_window(
+        df.filter(F.col(key_col).isNull() | ~F.col(key_col).isin(hot_keys))
+    )
 
     hot = df.filter(F.col(key_col).isin(hot_keys)).withColumn(
         "_chunk",

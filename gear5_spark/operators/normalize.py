@@ -265,6 +265,15 @@ def _coerce_pd(series: pd.Series, token: str) -> pd.Series:
             # float(2**63-1) rounds UP to exactly 2**63, which astype
             # would still reject — bound strictly below 2**63 instead
             num = num.where((num >= -(2.0**63)) & (num < 2.0**63))
+        elif num.dtype.kind == "u":
+            # all-non-negative input with at least one value in
+            # [2**63, 2**64) parses to uint64 — astype(Int64) would
+            # raise on the oversized ones. Mask them via OBJECT ints
+            # (a float detour would round 2**63-1 up and re-crash);
+            # in-range values cast exactly.
+            num = num.astype("object").where(
+                num <= 0x7FFF_FFFF_FFFF_FFFF
+            )
         return num.astype("Int64")
     if token == "double":
         return pd.to_numeric(series, errors="coerce").astype("Float64")

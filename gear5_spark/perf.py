@@ -42,7 +42,11 @@ def untrack() -> None:
 
 @contextlib.contextmanager
 def span(name: str):
-    if _TRACKED is not None:
+    # remember whether THIS span pushed: track()/untrack() may flip
+    # _TRACKED while a span is open, and the exit path must never pop
+    # an entry it didn't push
+    pushed = _TRACKED is not None
+    if pushed:
         _GROUP_STACK.append(name)
         _TRACKED.sparkContext.setJobGroup(f"g5:{_PREFIX}{name}", name)
     t0 = time.perf_counter()
@@ -52,7 +56,7 @@ def span(name: str):
         dt = time.perf_counter() - t0
         _TIMINGS[name] = _TIMINGS.get(name, 0.0) + dt
         _COUNTS[name] = _COUNTS.get(name, 0) + 1
-        if _TRACKED is not None:
+        if pushed and _TRACKED is not None and _GROUP_STACK:
             _GROUP_STACK.pop()
             if _GROUP_STACK:
                 _TRACKED.sparkContext.setJobGroup(

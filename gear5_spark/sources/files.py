@@ -92,6 +92,12 @@ def incremental_files(
     """S9: only files newer than the stored mtime cursor; commit() folds
     the max seen mtime into state after the downstream write succeeds."""
     cur = state.get(namespace, stream)
+    # taken BEFORE Spark lists the files: any file whose observed mtime
+    # exceeds this instant was (or may have been) modified after the
+    # listing froze its length, so its recorded cursor contribution is
+    # clamped to t0 — strictly below the modification's real mtime —
+    # and the next sync re-reads it (at-least-once, never skipped)
+    t0 = dt.datetime.now(dt.timezone.utc)
     df = read_files(
         spark, path, fmt=fmt, pattern=pattern, modified_after=cur, schema=schema
     )
@@ -99,11 +105,10 @@ def incremental_files(
     # index), never a fresh listing: a file landing between the read
     # and the commit must stay AHEAD of the cursor for the next sync
     # (a live re-listing would fold it in and skip it forever). The
-    # mtimes are snapshotted HERE, at listing time — a file appended
-    # AFTER this point keeps its old mtime in the cursor, so the
-    # post-read modification bumps it past the cursor and the next
-    # sync re-reads it (getmtime at commit time would fold the new
-    # mtime in and skip the unsynced append forever)
+    # mtimes are snapshotted HERE and clamped to t0: a file appended
+    # after the listing keeps a cursor entry below its new mtime
+    # (getmtime at commit time would fold the new mtime in and skip
+    # the unsynced append forever)
     from urllib.parse import unquote, urlparse
 
     listed_mtimes: list[dt.datetime] = []
@@ -111,8 +116,11 @@ def incremental_files(
         p = unquote(urlparse(uri).path) if uri.startswith("file:") else uri
         try:
             listed_mtimes.append(
-                dt.datetime.fromtimestamp(
-                    os.path.getmtime(p), dt.timezone.utc
+                min(
+                    dt.datetime.fromtimestamp(
+                        os.path.getmtime(p), dt.timezone.utc
+                    ),
+                    t0,
                 )
             )
         except OSError:

@@ -98,6 +98,7 @@ def fetch_records(
     cursor_gte = None  # restart boundary: >= re-delivers ties (see below)
     after: str | None = None
     window_seen = 0
+    seen_max = None  # running max cursor — O(page), never re-scans `out`
     while True:
         params: dict[str, Any] = {"limit": stream.page_size, "after": after}
         if stream.cursor_field is not None:
@@ -110,6 +111,9 @@ def fetch_records(
         stream.stats["pages"] += 1
         out.extend(page.records)
         window_seen += len(page.records)
+        if stream.cursor_field is not None and page.records:
+            page_max = max(r[stream.cursor_field] for r in page.records)
+            seen_max = page_max if seen_max is None else max(seen_max, page_max)
         if stream.max_records is not None and len(out) >= stream.max_records:
             return out[: stream.max_records]
         if page.next_after is None:
@@ -124,8 +128,10 @@ def fetch_records(
             # unfetched rows SHARING the boundary cursor value would be
             # dropped forever under strict >, breaking the at-least-once
             # contract (ties are re-delivered and deduped downstream).
-            boundary = max(r[stream.cursor_field] for r in out)
-            if cursor_gte is None or boundary > cursor_gte:
+            boundary = seen_max
+            if boundary is not None and (
+                cursor_gte is None or boundary > cursor_gte
+            ):
                 cursor_gte = boundary
                 after = None
                 window_seen = 0

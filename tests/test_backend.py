@@ -129,3 +129,14 @@ def test_cursor_state_fault_keeps_old_value(tmp_path):
         faulty.advance("ns", "st", "ts", 9)
     # old cursor intact, no torn file
     assert CursorStateStore(p).get("ns", "st") == 5
+
+
+def test_posix_backend_bare_relative_path(tmp_path, monkeypatch):
+    # bare filename (dirname '') must not crash the directory fsync
+    monkeypatch.chdir(tmp_path)
+    b = PosixBackend()
+    b.put_replace("state.json", b"x")
+    assert open("state.json", "rb").read() == b"x"
+    b.put_if_absent("once.json", b"y")
+    with pytest.raises(AlreadyExists):
+        b.put_if_absent("once.json", b"z")

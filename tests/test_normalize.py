@@ -137,3 +137,20 @@ def test_coerce_long_out_of_range_degrades_to_null():
     assert out.iloc[1] == 3  # truncation, not rejection
     assert pd.isna(out.iloc[2]) and pd.isna(out.iloc[3])  # overflow -> NULL
     assert pd.isna(out.iloc[5]) and pd.isna(out.iloc[6])
+
+
+def test_coerce_long_uint64_range_degrades_to_null():
+    # values in [2**63, 2**64) parse to uint64 dtype — the overflow
+    # guard must catch that path too (not just floats), and in-range
+    # values must survive EXACTLY (no float rounding of 2**63-1)
+    import pandas as pd
+
+    from gear5_spark.operators.normalize import _coerce_pd
+
+    s = pd.Series(["9223372036854775808", "18446744073709551615",
+                   "9223372036854775807", "7"])
+    out = _coerce_pd(s, "long")
+    assert out.dtype.name == "Int64"
+    assert pd.isna(out.iloc[0]) and pd.isna(out.iloc[1])
+    assert out.iloc[2] == 9223372036854775807  # exact, no float detour
+    assert out.iloc[3] == 7

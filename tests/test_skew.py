@@ -115,3 +115,24 @@ def test_sessionize_hot_key_guard_exact(spark):
         .count()
     )
     assert n_chunks > 3
+
+
+def test_sessionize_hot_key_guard_keeps_null_keys(spark):
+    """NULL keys must survive the hot-key guard on the single-window
+    path (isin() is NULL for them — naive routing drops them from both
+    branches)."""
+    import datetime as dt
+
+    from gear5_spark.operators.conversations import gap_sessionize
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [("hot", base + dt.timedelta(seconds=30 * i)) for i in range(200)]
+    rows += [(None, base + dt.timedelta(hours=i)) for i in range(5)]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    out = gap_sessionize(df, gap_sec=1800, hot_key_budget=50,
+                         split_interval_sec=3600)
+    assert out.filter("user_id IS NULL").count() == 5
+    plain = gap_sessionize(df, gap_sec=1800)
+    a = {(r["user_id"], r["ts"], r["session_idx"]) for r in plain.collect()}
+    b = {(r["user_id"], r["ts"], r["session_idx"]) for r in out.collect()}
+    assert a == b
