@@ -470,6 +470,25 @@ def _q_decontamination(spark, sf_dir):
     )
 
 
+def _q_repetition_metrics(spark, sf_dir):
+    # Gopher-style within-doc repetition signals (dup lines / dup
+    # 5-grams / top-bigram occupancy) — the repetition half of the
+    # Gopher filter suite, value-checked end to end
+    from gear5_spark.text.quality import repetition_metrics
+
+    return repetition_metrics(_t(spark, sf_dir, "documents"), ngram_n=5)
+
+
+def _q_doc_chunks(spark, sf_dir):
+    # sliding-window chunking for context-window prep: pure per-row
+    # arithmetic + explode, no shuffle — rides the corpus scan
+    from gear5_spark.text.curate import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_tokens=64, overlap_tokens=16
+    )
+
+
 def _q_sequence_packing(spark, sf_dir):
     # deterministic context-window packing: per-shard token cumsum maps
     # every doc to (pack_idx, offset) — window partitioned by shard so
@@ -895,6 +914,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "corpus_curation": _q_corpus_curation,
         "decontamination": _q_decontamination,
+        "repetition_metrics": _q_repetition_metrics,
+        "doc_chunks": _q_doc_chunks,
         "sequence_packing": _q_sequence_packing,
         "cdc_replay": _q_cdc_replay,
         "cdc_replay_digest": _q_cdc_replay_digest,
@@ -1180,6 +1201,57 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, cluster_id, "
             "count(*) OVER (PARTITION BY cluster_id) AS cluster_size, "
             "doc_id = cluster_id AS is_canonical FROM m"
+        ),
+        "repetition_metrics": (
+            "WITH t AS (SELECT doc_id, text, "
+            "string_split_regex(trim(lower(text)), '\\s+') AS toks, "
+            "string_split(text, chr(10)) AS lns FROM documents), "
+            "pl AS (SELECT doc_id, line, count(*) AS c, len(line) AS l "
+            "FROM (SELECT doc_id, unnest(lns) AS line FROM t) "
+            "GROUP BY doc_id, line), "
+            "a1 AS (SELECT doc_id, sum(c) AS n_lines, "
+            "sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_lines, "
+            "sum(c * l) AS line_chars, "
+            "sum(CASE WHEN c > 1 THEN c * l ELSE 0 END) AS dup_line_chars "
+            "FROM pl GROUP BY doc_id), "
+            "g5 AS (SELECT doc_id, g, count(*) AS c FROM (SELECT doc_id, "
+            "unnest(list_transform(generate_series(1, "
+            "greatest(len(toks) - 4, 1)), "
+            "i -> array_to_string(toks[i:i+4], ' '))) AS g FROM t) "
+            "GROUP BY doc_id, g), "
+            "a2 AS (SELECT doc_id, sum(c) AS n_grams, "
+            "sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_grams "
+            "FROM g5 GROUP BY doc_id), "
+            "g2 AS (SELECT doc_id, g, count(*) AS c FROM (SELECT doc_id, "
+            "unnest(list_transform(generate_series(1, "
+            "greatest(len(toks) - 1, 1)), "
+            "i -> array_to_string(toks[i:i+1], ' '))) AS g FROM t) "
+            "GROUP BY doc_id, g), "
+            "a3 AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n_bi "
+            "FROM g2 GROUP BY doc_id) "
+            "SELECT a1.doc_id, CAST(n_lines AS BIGINT) AS n_lines, "
+            "round(CAST(dup_lines AS DOUBLE) / n_lines, 6) "
+            "AS dup_line_frac, "
+            "round(CAST(dup_line_chars AS DOUBLE) / "
+            "greatest(line_chars, 1), 6) AS dup_line_char_frac, "
+            "round(CAST(dup_grams AS DOUBLE) / n_grams, 6) "
+            "AS dup_5gram_frac, "
+            "round(CAST(top_c AS DOUBLE) / n_bi, 6) AS top_bigram_frac "
+            "FROM a1 JOIN a2 USING (doc_id) JOIN a3 USING (doc_id)"
+        ),
+        "doc_chunks": (
+            "WITH t AS (SELECT doc_id, "
+            "string_split_regex(trim(lower(text)), '\\s+') AS toks "
+            "FROM documents), "
+            "c AS (SELECT doc_id, toks, len(toks) AS n, "
+            "unnest(generate_series(0, "
+            "(greatest(len(toks) - 64, 0) + 47) // 48)) AS chunk_idx "
+            "FROM t) "
+            "SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, "
+            "CAST(chunk_idx * 48 AS BIGINT) AS start_token, "
+            "CAST(least(64, n - chunk_idx * 48) AS BIGINT) AS n_tokens, "
+            "array_to_string(toks[chunk_idx * 48 + 1 : "
+            "chunk_idx * 48 + 64], ' ') AS chunk_text FROM c"
         ),
         "sequence_packing": (
             "WITH t AS (SELECT doc_id, doc_id % 32 AS shard, "

@@ -363,6 +363,8 @@ def main() -> None:
         "dedup_clusters",
         "stratified_sample",
         "gopher_quality",
+        "repetition_metrics",
+        "doc_chunks",
         "decontamination",
         "sequence_packing",
     ]

@@ -154,3 +154,49 @@ def curate_corpus(
     return hash_sample(kept, sample_fraction, ["doc_id"], salt).select(
         "doc_id", "n_tokens"
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 256,
+    overlap_tokens: int = 64,
+) -> DataFrame:
+    """Sliding-window document chunking for context-window preparation:
+    each document becomes ceil-strided windows of ``chunk_tokens``
+    whitespace tokens advancing by ``chunk_tokens - overlap_tokens``.
+
+    Pure per-row arithmetic + explode — embarrassingly parallel, no
+    shuffle at all (the chunks inherit the scan's partitioning), so the
+    operator rides a 100 TB corpus scan at full width. The final window
+    is emitted whenever any token remains uncovered (short docs emit
+    exactly one window). Deterministic: (doc_id, chunk_idx) is a stable
+    key for downstream exact/near dedup of chunks."""
+    if not 0 <= overlap_tokens < chunk_tokens:
+        raise ValueError(
+            f"need 0 <= overlap({overlap_tokens}) < chunk({chunk_tokens})"
+        )
+    stride = chunk_tokens - overlap_tokens
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    # windows needed to cover n tokens: 1 + ceil(max(n - chunk, 0)/stride)
+    n_chunks = F.lit(1) + F.floor(
+        (F.greatest(n - chunk_tokens, F.lit(0)) + stride - 1) / stride
+    ).cast("long")
+    out = docs.select(
+        "doc_id",
+        toks.alias("_toks"),
+        n.cast("long").alias("_n"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    start = F.col("chunk_idx") * stride
+    return out.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        start.cast("long").alias("start_token"),
+        F.least(F.lit(chunk_tokens), F.col("_n") - start)
+        .cast("long")
+        .alias("n_tokens"),
+        F.concat_ws(
+            " ", F.slice("_toks", (start + 1).cast("int"), chunk_tokens)
+        ).alias("chunk_text"),
+    )

@@ -155,3 +155,91 @@ def fingerprints(docs: DataFrame) -> DataFrame:
         F.md5(norm).alias("fingerprint"),
         F.xxhash64(norm).alias("content_hash64"),
     )
+
+
+def repetition_metrics(docs: DataFrame, ngram_n: int = 5) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021
+    §A1.1 repetition filters — the part gopher_quality_flags leaves
+    out): duplicate-line fraction, duplicate-line CHARACTER fraction,
+    duplicate word-n-gram fraction, and the occurrence fraction of the
+    single most common word bigram.
+
+    Shapes for scale: per-(doc, line) and per-(doc, gram) counts are
+    hash aggregations with map-side combine — shuffle rows bounded by
+    distinct lines/grams per doc, never corpus-wide; the three signal
+    sets join back on doc_id (AQE broadcasts the small sides at bench
+    scale). No data-dependent blowup: every intermediate is <= the
+    exploded token count."""
+    lines = F.split(F.col("text"), "\n")
+    toks = tokens(F.col("text"))
+    base = docs.select(
+        "doc_id",
+        lines.alias("_lines"),
+        toks.alias("_toks"),
+    )
+    per_line = (
+        base.select("doc_id", F.explode("_lines").alias("line"))
+        .groupBy("doc_id", "line")
+        .agg(F.count(F.lit(1)).alias("c"), F.length("line").alias("len"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_lines"),
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias(
+                "dup_lines"
+            ),
+            F.sum(F.col("c") * F.col("len")).alias("line_chars"),
+            F.sum(
+                F.when(F.col("c") > 1, F.col("c") * F.col("len")).otherwise(0)
+            ).alias("dup_line_chars"),
+        )
+    )
+
+    def _grams(n: int):
+        idx = F.sequence(
+            F.lit(0), F.greatest(F.size("_toks") - n, F.lit(0))
+        )
+        return F.transform(
+            idx, lambda i: F.concat_ws(" ", F.slice("_toks", i + 1, n))
+        )
+
+    per_ngram = (
+        base.select("doc_id", F.explode(_grams(ngram_n)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_grams"),
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias(
+                "dup_grams"
+            ),
+        )
+    )
+    per_bigram = (
+        base.select("doc_id", F.explode(_grams(2)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"), F.sum("c").alias("n_bi"))
+    )
+    return (
+        per_line.join(per_ngram, "doc_id")
+        .join(per_bigram, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_lines").cast("long").alias("n_lines"),
+            F.round(F.col("dup_lines") / F.col("n_lines"), 6).alias(
+                "dup_line_frac"
+            ),
+            F.round(
+                F.col("dup_line_chars")
+                / F.greatest(F.col("line_chars"), F.lit(1)),
+                6,
+            ).alias("dup_line_char_frac"),
+            F.round(F.col("dup_grams") / F.col("n_grams"), 6).alias(
+                f"dup_{ngram_n}gram_frac"
+            ),
+            F.round(F.col("top_c") / F.col("n_bi"), 6).alias(
+                "top_bigram_frac"
+            ),
+        )
+    )

@@ -113,3 +113,54 @@ def test_pack_sequences_invariants(spark):
         ).collect()
     }
     assert again == {(r.doc_id, r.pack_idx, r.offset_tokens) for r in rows}
+
+
+def test_repetition_metrics_known_values(spark):
+    from gear5_spark.text.quality import repetition_metrics
+
+    docs = spark.createDataFrame(
+        [
+            # 4 lines, "dup" twice: dup_line_frac = 2/4; bigram "a b"
+            # dominates
+            (1, "a b a b a b\ndup\nuniq\ndup"),
+            (2, "x y z"),  # no repetition at all
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_metrics(docs).collect()}
+    r1 = rows[1]
+    assert r1["n_lines"] == 4
+    assert abs(r1["dup_line_frac"] - 0.5) < 1e-9
+    assert r1["top_bigram_frac"] > 0.3  # "a b" repeats
+    r2 = rows[2]
+    assert r2["dup_line_frac"] == 0.0
+    assert r2["dup_5gram_frac"] == 0.0
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    from gear5_spark.text.curate import chunk_documents
+
+    text_long = " ".join(f"t{i}" for i in range(100))
+    docs = spark.createDataFrame(
+        [(1, text_long), (2, "only three tokens")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, chunk_tokens=32, overlap_tokens=8)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # short doc: exactly one chunk holding everything
+    assert len(by_doc[2]) == 1
+    assert by_doc[2][0]["n_tokens"] == 3
+    # long doc: strided starts, full coverage, declared overlap
+    chunks = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    stride = 32 - 8
+    for i, c in enumerate(chunks):
+        assert c["start_token"] == i * stride
+        assert len(c["chunk_text"].split(" ")) == c["n_tokens"]
+    last = chunks[-1]
+    assert last["start_token"] + last["n_tokens"] == 100  # covers the tail
+    # consecutive chunks share exactly `overlap` tokens when full
+    a = chunks[0]["chunk_text"].split(" ")
+    b = chunks[1]["chunk_text"].split(" ")
+    assert a[stride:] == b[:8]
