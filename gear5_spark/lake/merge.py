@@ -51,6 +51,7 @@ from gear5_spark.lake.table import (
     BUCKET_COL,
     CDC_DELETED_AT,
     CDC_LSN,
+    ConcurrentCommitError,
     LakeTable,
     Snapshot,
 )
@@ -128,6 +129,24 @@ def merge_into(
     )
 
     keyed = batch.withColumn(BUCKET_COL, table.bucket_expr(snap))
+
+    def _check_declared_buckets(new_entries: list[dict]) -> None:
+        # a caller-declared bucket set is a PROMISE that every batch row
+        # hashes into it; a row outside (bucket-layout drift, e.g. a
+        # concurrent rebucket between the caller's bucket pass and this
+        # merge) would be appended while its bucket's old files are
+        # kept — duplicate keys published. The writer knows each new
+        # file's bucket for free, so verify before commit and fail
+        # loudly instead.
+        if affected_buckets is None:
+            return
+        stray = {f["bucket"] for f in new_entries} - affected_set
+        if stray:
+            raise ConcurrentCommitError(
+                f"batch rows landed in buckets {sorted(stray)} outside "
+                f"the declared affected_buckets — bucket layout drift "
+                "(concurrent rebucket?); retry without affected_buckets"
+            )
     if affected_buckets is not None:
         # caller computed bucket membership upstream (it depends only on
         # the bucket column, so it can ride an earlier pass over the raw
@@ -140,7 +159,8 @@ def merge_into(
         affected = sorted(
             r[0] for r in keyed.select(BUCKET_COL).distinct().collect()
         )
-    target_files = [f for f in snap.files if f["bucket"] in set(affected)]
+    affected_set = set(affected)
+    target_files = [f for f in snap.files if f["bucket"] in affected_set]
     if not target_files:
         # nothing to merge against (bootstrap load / untouched buckets):
         # skip the join entirely — dedup output IS the new bucket content
@@ -154,6 +174,7 @@ def merge_into(
         finally:
             if affected_buckets is None:
                 keyed.unpersist()
+        _check_declared_buckets(new_entries)
         new_snap = table.commit(
             files=list(snap.files) + new_entries,
             schema=evolved,
@@ -194,7 +215,8 @@ def merge_into(
     finally:
         if affected_buckets is None:
             keyed.unpersist()
-    kept = [f for f in snap.files if f["bucket"] not in set(affected)]
+    _check_declared_buckets(new_entries)
+    kept = [f for f in snap.files if f["bucket"] not in affected_set]
     new_snap = table.commit(
         files=kept + new_entries,
         schema=evolved,
@@ -233,11 +255,18 @@ def _guarded_merge(
         b = F.broadcast(b)
     j = t.join(b, on=key_cols, how="full_outer")
 
-    guard = F.coalesce(
-        F.col(f"_b.{CDC_LSN}").try_cast("long")
-        >= F.col(f"_t.{CDC_LSN}").try_cast("long"),
-        F.lit(True),
-    )
+    # the documented batch contract allows any SUBSET of target columns:
+    # referencing a struct field neither side carries would fail at plan
+    # time, so the guard degrades to batch-wins (same as the coalesce
+    # fallback for NULL lsn) when either side lacks the ordering column
+    if CDC_LSN in t_payload and CDC_LSN in b_payload:
+        guard = F.coalesce(
+            F.col(f"_b.{CDC_LSN}").try_cast("long")
+            >= F.col(f"_t.{CDC_LSN}").try_cast("long"),
+            F.lit(True),
+        )
+    else:
+        guard = F.lit(True)
     batch_wins = F.col("_b").isNotNull() & (F.col("_t").isNull() | guard)
     is_delete = F.coalesce(F.col(f"_b.{op_col}") == "delete", F.lit(False))
 

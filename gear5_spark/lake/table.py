@@ -901,10 +901,33 @@ class LakeTable:
         if missing:
             raise ValueError(f"lookup requires bucket columns {missing}")
         n = snap.properties["n_buckets"]
-        bucket = bucket_of([str(key_values[c]) for c in cols], n)
+
+        def _spark_str(v: Any) -> str:
+            # match bucket_expr's cast(col AS STRING): Spark renders
+            # booleans lowercase; Python str() would give 'True' and
+            # hash into the wrong bucket
+            if isinstance(v, bool):
+                return "true" if v else "false"
+            return str(v)
+
+        # NULL key values: xxhash64 SKIPS null arguments (the hash is
+        # over the remaining columns + seed), so the driver-side
+        # computation must skip them identically
+        bucket = bucket_of(
+            [
+                _spark_str(key_values[c])
+                for c in cols
+                if key_values[c] is not None
+            ],
+            n,
+        )
         df = self.read(snapshot=snap, buckets=[bucket])
         for col, val in key_values.items():
-            df = df.filter(F.col(col) == F.lit(val))
+            df = df.filter(
+                F.col(col).isNull()
+                if val is None
+                else F.col(col) == F.lit(val)
+            )
         return df
 
     # -------------------------------------------------------------------- DDL
@@ -935,7 +958,10 @@ class LakeTable:
         )
         if not changes:
             return snap
-        return self.commit(files=snap.files, schema=evolved)
+        # basis=snap: a commit racing into this read-modify-write window
+        # must REBASE (or conflict), not be silently reverted by the
+        # stale file list captured above
+        return self.commit(files=snap.files, schema=evolved, basis=snap)
 
     def rebucket(self, n_buckets: int) -> Snapshot:
         """Rewrite the table into a new bucket count — the re-bucketing
@@ -959,7 +985,10 @@ class LakeTable:
         _, entries = self.write_data_files(data, n_buckets=n_buckets)
         props = dict(snap.properties)
         props["n_buckets"] = n_buckets
-        return self.commit(files=entries, properties=props)
+        # basis=snap: a merge that lands during the O(table) rewrite
+        # must surface as ConcurrentCommitError (its rows are NOT in the
+        # rewritten file set) instead of being silently dropped
+        return self.commit(files=entries, properties=props, basis=snap)
 
     def truncate(self) -> Snapshot:
         """TRUNCATE: new snapshot referencing no data files (old snapshots
@@ -1061,10 +1090,15 @@ class LakeTable:
                     MANIFEST_DIR,
                     f"m-{version:08d}-{uuid.uuid4().hex[:12]}.json",
                 )
-                with open(os.path.join(self.table_dir, rel), "w") as fh:
-                    json.dump(
-                        {"files": parent.files}, fh, separators=(",", ":")
-                    )
+                # through the commit backend: fsync-before-publish (a
+                # snapshot must never reference torn content) and
+                # portability off POSIX, same as _build_manifest_list
+                self.backend.put_if_absent(
+                    os.path.join(self.table_dir, rel),
+                    json.dumps(
+                        {"files": parent.files}, separators=(",", ":")
+                    ).encode(),
+                )
                 m_list = [
                     {
                         "path": rel,

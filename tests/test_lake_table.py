@@ -152,3 +152,115 @@ def test_point_lookup_prunes_to_one_bucket(spark, table):
 
     with _pytest.raises(ValueError, match="requires bucket columns"):
         table.lookup(v=7)
+
+
+def test_add_column_race_preserves_concurrent_commit(spark, table, monkeypatch):
+    """A commit landing between add_column's snapshot read and its own
+    commit must be rebased in, not silently reverted by the stale file
+    list."""
+    merge_into(table, _batch(spark, [("a", 1, 1, "insert")]))
+    stale = table.snapshot()
+    merge_into(table, _batch(spark, [("b", 2, 2, "insert")]))  # concurrent
+    real = table.snapshot
+    calls = {"n": 0}
+
+    def stale_once(*a, **kw):
+        if not a and not kw and calls["n"] == 0:
+            calls["n"] += 1
+            return stale
+        return real(*a, **kw)
+
+    monkeypatch.setattr(table, "snapshot", stale_once)
+    table.add_column("extra", "string")
+    got = {r["k"]: r["v"] for r in table.read().collect()}
+    assert got == {"a": 1, "b": 2}  # concurrent row survived
+    assert "extra" in table.read().columns
+
+
+def test_rebucket_race_raises_not_drops(spark, table, monkeypatch):
+    """A commit landing during rebucket's O(table) rewrite is NOT in the
+    rewritten file set — the rebucket must fail loudly, never publish."""
+    merge_into(table, _batch(spark, [("a", 1, 1, "insert")]))
+    stale = table.snapshot()
+    merge_into(table, _batch(spark, [("b", 2, 2, "insert")]))
+    real = table.snapshot
+    calls = {"n": 0}
+
+    def stale_once(*a, **kw):
+        if not a and not kw and calls["n"] == 0:
+            calls["n"] += 1
+            return stale
+        return real(*a, **kw)
+
+    monkeypatch.setattr(table, "snapshot", stale_once)
+    with pytest.raises(ConcurrentCommitError):
+        table.rebucket(8)
+    got = {r["k"]: r["v"] for r in table.read().collect()}
+    assert got == {"a": 1, "b": 2}  # nothing lost, nothing published
+
+
+def test_guarded_merge_without_lsn_column(spark, tmp_path):
+    """order_guard=True must degrade to batch-wins (not crash) when the
+    schema carries no _cdc_lsn — the documented 'any subset of target
+    columns' contract."""
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType(), False),
+            T.StructField("v", T.LongType(), True),
+        ]
+    )
+    t = LakeTable.create(
+        spark, str(tmp_path / "nolsn"), schema=schema, key_columns=["k"],
+        n_buckets=2,
+    )
+    b = spark.createDataFrame(
+        [("a", 1, "insert")], "k string, v long, op string"
+    )
+    merge_into(t, b, order_guard=True)
+    b2 = spark.createDataFrame(
+        [("a", 2, "update")], "k string, v long, op string"
+    )
+    merge_into(t, b2, order_guard=True)
+    assert t.read().collect()[0]["v"] == 2
+
+
+def test_declared_affected_buckets_drift_raises(spark, table):
+    """Rows hashing outside the caller-declared bucket set must refuse
+    to commit (duplicate keys would be published otherwise)."""
+    merge_into(table, _batch(spark, [("a", 1, 1, "insert")]))
+    all_buckets = list(range(4))
+    # find a key and a declared set that EXCLUDES that key's bucket
+    from gear5_spark.lake.xxh64 import bucket_of
+
+    key = "zz"
+    while bucket_of([key], 4) == bucket_of(["a"], 4):
+        key += "z"
+    wrong = [b for b in all_buckets if b != bucket_of([key], 4)]
+    with pytest.raises(ConcurrentCommitError, match="affected_buckets"):
+        merge_into(
+            table,
+            _batch(spark, [(key, 9, 9, "insert")]),
+            affected_buckets=wrong,
+        )
+
+
+def test_lookup_bool_and_null_semantics(spark, tmp_path):
+    """Driver-side bucket computation must match Spark's string cast for
+    booleans (lowercase) so the point lookup prunes to the RIGHT bucket."""
+    schema = T.StructType(
+        [
+            T.StructField("flag", T.BooleanType(), False),
+            T.StructField("v", T.LongType(), True),
+        ]
+    )
+    t = LakeTable.create(
+        spark, str(tmp_path / "boolkey"), schema=schema,
+        key_columns=["flag"], n_buckets=4,
+    )
+    b = spark.createDataFrame(
+        [(True, 1, "insert"), (False, 2, "insert")],
+        "flag boolean, v long, op string",
+    )
+    merge_into(t, b, order_guard=False)
+    assert t.lookup(flag=True).collect()[0]["v"] == 1
+    assert t.lookup(flag=False).collect()[0]["v"] == 2
