@@ -1171,6 +1171,7 @@ class LakeTable:
                 T.StructField("lsn_max", T.LongType()),
                 T.StructField("event_count", T.LongType()),
                 T.StructField("txn_ids_hash", T.StringType()),
+                T.StructField("malformed_count", T.LongType()),
                 T.StructField("snapshot_id", T.StringType()),
                 T.StructField("snapshot_version", T.LongType()),
                 T.StructField("committed_at_ms", T.LongType()),

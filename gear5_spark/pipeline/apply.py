@@ -46,6 +46,13 @@ BASE_PAYLOAD = {
     "ts": {"type": "epoch_seconds", "source": "ts"},
 }
 KEY_COLS = ["conv_id", "turn_idx"]
+# feed-meta + engine-internal column names a discovered payload key must
+# never shadow (see extend_registry)
+RESERVED_COLS = {
+    "lsn", "txn_id", "txn_seq", "op", "ts_ms", "after_json",
+    "_cdc_lsn", "_cdc_updated_at", "_cdc_deleted_at", "_bucket",
+    "_src_file",
+}
 
 _SAMPLE_PER_KEY = 100  # reference samples 100 records (protocol/discover.go:46)
 
@@ -254,8 +261,14 @@ class TranscriptsApplier:
         if not vals_by_key:
             return registry
         updated = dict(registry)
+        # feed-meta and engine-internal names are RESERVED: a payload
+        # key named 'op' or 'lsn' registered verbatim would collide with
+        # the feed column in normalize/stamping (ambiguous reference),
+        # and the poisoned registry would re-crash every replay —
+        # sanitize_unique renames such keys instead
         name_map = sanitize_unique(
-            sorted(vals_by_key), taken=set(updated) | set(KEY_COLS)
+            sorted(vals_by_key),
+            taken=set(updated) | set(KEY_COLS) | RESERVED_COLS,
         )
         for k in sorted(vals_by_key):
             updated[name_map[k]] = {
@@ -302,7 +315,10 @@ class TranscriptsApplier:
             F.min("lsn").alias("lsn_min"),
             F.max("lsn").alias("lsn_max"),
             F.count(F.lit(1)).alias("event_count"),
-            F.expr("bit_xor(xxhash64(txn_id))").alias("txn_hash"),
+            # hash the (txn_id, txn_seq) PAIR: XOR of per-event hashes
+            # of txn_id alone cancels any transaction contributing an
+            # even number of events, blinding the audit fingerprint
+            F.expr("bit_xor(xxhash64(txn_id, txn_seq))").alias("txn_hash"),
             # affected buckets over VALID rows only — a malformed
             # (null-key) row's hash bucket would otherwise be read and
             # rewritten for nothing every quarantine-bearing batch
@@ -356,6 +372,32 @@ class TranscriptsApplier:
                     os.path.join(self.quarantine_dir, f"batch_id={batch_id}")
                 )
             if n_keys == 0:
+                if int(stats.get("malformed_count") or 0) > 0:
+                    # every event was quarantined: commit a data-less
+                    # snapshot so the batch's lineage (and its
+                    # malformed_count) reaches the audit trail and the
+                    # txn ledger advances — the dead-letter contract
+                    # says quarantined events are still COUNTED
+                    cur = self.table.snapshot()
+                    return self.table.commit(
+                        files=cur.files,
+                        txn_app_id=self.app_id,
+                        txn_batch_id=int(batch_id),
+                        lineage={
+                            "batch_id": int(batch_id),
+                            "lsn_min": int(stats["lsn_min"]),
+                            "lsn_max": int(stats["lsn_max"]),
+                            "event_count": int(stats["event_count"]),
+                            "txn_ids_hash": format(
+                                stats["txn_hash"] & ((1 << 64) - 1), "x"
+                            ),
+                            "malformed_count": int(
+                                stats["malformed_count"]
+                            ),
+                            "quarantined_only": True,
+                        },
+                        basis=cur,
+                    )
                 return None
 
             # discovery AFTER dedup is safe: dedup is payload-agnostic, so
@@ -386,7 +428,8 @@ class TranscriptsApplier:
                 "event_count": int(stats["event_count"]),
                 "txn_ids_hash": format(stats["txn_hash"] & ((1 << 64) - 1), "x"),
                 "malformed_count": int(stats.get("malformed_count") or 0),
-                "snapshot_version": self.table.current_version() + 1,
+                # snapshot_version is stamped by commit itself (the only
+                # value that survives an OCC rebase)
             }
             if self.partition_lineage:
                 if collect_provenance:

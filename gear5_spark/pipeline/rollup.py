@@ -109,7 +109,7 @@ class ConversationRollup:
 
         if isinstance(touched_conv_ids, DataFrame):
             touched = touched_conv_ids.select("conv_id").distinct()
-            base = self.base.read()
+            base = self._pruned_base_df(touched)
         else:
             if not touched_conv_ids:
                 return
@@ -178,6 +178,27 @@ class ConversationRollup:
 
             n = snap.properties["n_buckets"]
             buckets = sorted({bucket_of([str(c)], n) for c in conv_ids})
+            return self.base.read(snapshot=snap, buckets=buckets)
+        return self.base.read(snapshot=snap)
+
+    def _pruned_base_df(self, touched: DataFrame) -> DataFrame:
+        """DataFrame-input variant of :meth:`_pruned_base`: the touched
+        bucket SET (<= n_buckets ints) is computed distributively and
+        collected — O(n_buckets) driver rows however many conversations
+        the batch touched — so the conv_id-bucketed layout gets file
+        pruning on the applier's hot path too, not only on the
+        list-input path."""
+        snap = self.base.snapshot()
+        cols = snap.properties.get("bucket_columns") or []
+        if cols == ["conv_id"]:
+            buckets = sorted(
+                r[0]
+                for r in touched.select(
+                    self.base.bucket_expr(snap).alias("b")
+                )
+                .distinct()
+                .collect()
+            )
             return self.base.read(snapshot=snap, buckets=buckets)
         return self.base.read(snapshot=snap)
 

@@ -123,7 +123,7 @@ def replay_batch(
     max_lsn: int | None = None,
     salt_buckets: int = 1,
     normalize_mode: str = "sql",
-    order_guard: bool = False,
+    order_guard: bool | None = None,
     delete_mode: str = "hard",
     sink_mode: str = "cow",
     compact_every: int = 8,
@@ -134,9 +134,20 @@ def replay_batch(
 ) -> LakeTable:
     """Bulk replay: whole (or cursor-bounded) change log in one merge.
 
-    ``order_guard`` defaults off here because the batch provably contains
-    the globally-latest event per key — the cheapest correct plan.
+    ``order_guard`` defaults OFF for an unbounded replay — its batch
+    provably contains the globally-latest event per key, so the cheaper
+    anti-join plan is safe. An ``max_lsn``-BOUNDED replay loses that
+    proof: phases can be re-run out of order (phase-1 rerun after
+    phase-2 committed), and the unguarded plan would let the stale
+    prefix win silently — so bounded replays default the guard ON.
+    Pass ``order_guard`` explicitly to override either way. Caveat: the
+    guard compares against EXISTING target rows, so it cannot refuse to
+    resurrect a key a later phase hard-deleted (nothing remains to
+    compare against) — phased replays that may be re-run out of order
+    should use ``delete_mode="soft"`` (tombstones carry the ordering).
     """
+    if order_guard is None:
+        order_guard = max_lsn is not None
     applier = make_applier(
         table,
         checkpoint_dir,
@@ -188,7 +199,19 @@ def run_stream(
         writer = writer.trigger(processingTime=processing_time)
     query = writer.start()
     if available_now:
-        query.awaitTermination(timeout_sec)
+        drained = query.awaitTermination(timeout_sec)
+        if not drained:
+            # timeout hit with the drain still running: returning the
+            # live query would let callers read a half-applied table
+            # (and a process exit would kill the in-flight batch
+            # non-gracefully). Stop and fail loudly instead.
+            query.stop()
+            query.awaitTermination(30)
+            raise TimeoutError(
+                f"availableNow drain exceeded {timeout_sec}s; stopped "
+                "after the in-flight micro-batch (state is consistent — "
+                "rerun to continue from the checkpoint)"
+            )
     return query
 
 

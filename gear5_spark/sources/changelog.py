@@ -69,6 +69,12 @@ def stream_changelog(
         spark.readStream.schema(CHANGE_SCHEMA)
         .option("pathGlobFilter", "chunk-*.parquet")
         .option("latestFirst", "false")
+        # FileStreamSource silently IGNORES files whose mtime is older
+        # than maxFileAge (default 7d) relative to the newest seen — a
+        # backfilled/restored chunk with a preserved old mtime would
+        # never be delivered. The feed contract is append-only by NAME;
+        # age-based eviction is wrong for it, so effectively disable it
+        .option("maxFileAge", "36500d")
     )
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))

@@ -203,3 +203,81 @@ def test_vacuum_respects_retention(spark, tmp_path):
     # bucket file the manifest never referenced), never a live file
     assert all(r == commit or r.endswith(".parquet") for r in removed)
     assert table.read().count() == 1
+
+
+def test_reserved_payload_key_does_not_wedge(spark, tmp_path):
+    """A payload key named like a feed-meta column ('op') must land as a
+    RENAMED column instead of poisoning the registry and crashing every
+    replay with an ambiguous reference."""
+    log = str(tmp_path / "log")
+    _write_log(
+        log,
+        [
+            {"role": "user", "text": "a", "ts": 1_700_000_000, "op": "add"},
+            {"role": "user", "text": "b", "ts": 1_700_000_060, "op": "del"},
+        ],
+    )
+    table = bootstrap_table(spark, str(tmp_path / "t"), n_buckets=4)
+    applier = make_applier(table, str(tmp_path / "c"))
+    applier(read_changelog(spark, log), 0)
+    reg = applier.load_registry()
+    landed = [n for n, f in reg.items() if f["source"] == "op"]
+    assert landed and landed[0] != "op"  # discovered under a safe name
+    got = table.read().select(landed[0]).collect()
+    assert {r[0] for r in got} == {"add", "del"}
+    # second batch replays cleanly (the registry is not poisoned)
+    applier(read_changelog(spark, log), 1)
+
+
+def test_all_malformed_batch_records_lineage(spark, tmp_path):
+    """A batch whose EVERY event is quarantined still commits its
+    lineage (malformed_count) and advances the txn ledger."""
+    log = str(tmp_path / "log")
+    payload = {"role": "user", "text": "x", "ts": 1_700_000_000}
+    _write_log(log, [payload] * 2, conv=[None, None])
+    table = bootstrap_table(spark, str(tmp_path / "t"), n_buckets=4)
+    dead = str(tmp_path / "dead")
+    applier = make_applier(table, str(tmp_path / "c"), quarantine_dir=dead)
+    snap = applier(read_changelog(spark, log), 0)
+    assert snap is not None
+    row = [
+        e for e in table.lineage_df().collect() if e["batch_id"] == 0
+    ]
+    assert row and row[0]["malformed_count"] == 2
+    assert table.last_committed_batch("transcripts-cdc") == 0
+    # the replayed batch is now deduped by the ledger
+    assert applier(read_changelog(spark, log), 0) is None
+
+
+def test_bounded_replay_rerun_cannot_regress(spark, tmp_path):
+    """Re-running an lsn-bounded replay phase AFTER a later phase
+    committed must be a no-op (order_guard defaults ON for bounded
+    replays), not a silent regression to the stale prefix."""
+    from gen_fixtures import generate_changelog
+    from gear5_spark.lake.merge import active
+    from gear5_spark.pipeline.runner import replay_batch
+
+    log = str(tmp_path / "log")
+    generate_changelog(log, n_events=2000, n_convs=40, chunk_rows=500,
+                       seed=11)
+    # soft deletes: an out-of-order rerun needs tombstones to refuse
+    # resurrecting hard-deleted keys (the guard cannot compare against
+    # a row that no longer exists) — see replay_batch's docstring
+    table = bootstrap_table(spark, str(tmp_path / "t"), n_buckets=8,
+                            delete_mode="soft")
+    replay_batch(spark, log, table, str(tmp_path / "c1"), max_lsn=999,
+                 delete_mode="soft")
+    replay_batch(spark, log, table, str(tmp_path / "c2"), min_lsn=1000,
+                 max_lsn=1999, delete_mode="soft")
+    want = {
+        (r["conv_id"], r["turn_idx"]): r["text"]
+        for r in active(table.read()).collect()
+    }
+    # out-of-order re-run of phase 1 (fresh checkpoint => fresh batch id)
+    replay_batch(spark, log, table, str(tmp_path / "c3"), max_lsn=999,
+                 delete_mode="soft")
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["text"]
+        for r in active(table.read()).collect()
+    }
+    assert got == want  # nothing regressed to the lsn<=999 state
