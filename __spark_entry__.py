@@ -1035,9 +1035,13 @@ def oracle_sql() -> dict[str, str]:
             "FROM events GROUP BY 1, 2"
         ),
         "exact_dedup": (
+            # NULL text = unknown content: singleton groups, never one
+            # giant NULL-fingerprint duplicate group (dedupe.py parity)
             "SELECT md5(lower(trim(text))) AS fingerprint, "
             "min(doc_id) AS keep_doc_id, count(*) AS dup_count "
-            "FROM documents GROUP BY 1"
+            "FROM documents WHERE text IS NOT NULL GROUP BY 1 "
+            "UNION ALL SELECT CAST(NULL AS VARCHAR), doc_id, "
+            "CAST(1 AS BIGINT) FROM documents WHERE text IS NULL"
         ),
         "token_count": (
             "SELECT doc_id, "

@@ -52,16 +52,26 @@ def cosine_topk(
     of the (small) query side against the (large) base side, so the base
     table streams through once — at scale, broadcast queries and scan the
     base partition-parallel; no shuffle of the base vectors."""
+    # norms computed ONCE per row before the join (with_norms), not per
+    # candidate pair — at k candidates/query that saves ~2/3 of the
+    # arithmetic; the value is bit-identical (same expression, same
+    # operand order)
     q = queries.select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("_qn"),
     )
-    b = emb.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"))
+    b = emb.select(
+        F.col(id_col).alias("b_id"),
+        F.col(vec_col).alias("b_vec"),
+        _norm(F.col(vec_col)).alias("_bn"),
+    )
     scored = b.join(F.broadcast(q), F.col("q_id") != F.col("b_id")).select(
         F.col("q_id").alias("vec_id"),
         F.col("b_id").alias("neighbor_id"),
         (
             _dot(F.col("q_vec"), F.col("b_vec"))
-            / (_norm(F.col("q_vec")) * _norm(F.col("b_vec")))
+            / (F.col("_qn") * F.col("_bn"))
         ).alias("cosine"),
     )
     w = W.partitionBy("vec_id").orderBy(
@@ -74,11 +84,13 @@ def cosine_topk(
     )
 
 
-def _hyperplane(dim: int, plane: int, seed: int = 7):
+def _hyperplane(dim, plane: int, seed: int = 7):
     """Deterministic pseudo-random hyperplane: component j of plane p is
-    a signed value derived from xxhash64(p, j, seed) — uniform in [-1,1)."""
+    a signed value derived from xxhash64(p, j, seed) — uniform in [-1,1).
+    ``dim`` may be a Column (the row's own vector length)."""
+    end = F.lit(dim - 1) if isinstance(dim, int) else (dim - F.lit(1))
     return F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
+        F.sequence(F.lit(0), end),
         lambda j: (
             F.xxhash64(F.lit(plane), j, F.lit(seed)).cast("double")
             / F.lit(float(1 << 63))
@@ -87,9 +99,22 @@ def _hyperplane(dim: int, plane: int, seed: int = 7):
 
 
 def _bucket_expr(vec_col: str, n_planes: int, dim: int, seed: int):
-    """Sign-LSH bucket id as a pure Column: bit p = sign(v . h_p)."""
+    """Sign-LSH bucket id as a pure Column: bit p = sign(v . h_p).
+
+    The hyperplane is generated to the ROW's own vector length (not the
+    ``dim`` parameter): zip_with pads a length mismatch with NULLs,
+    which would silently NULL every dot product and collapse all
+    vectors into bucket 0 — with per-row sizing, a stale ``dim`` cannot
+    degrade the index (rows of equal length always hash identically)."""
     bits = [
-        F.when(_dot(F.col(vec_col), _hyperplane(dim, p, seed)) >= 0, F.lit(1 << p))
+        F.when(
+            _dot(
+                F.col(vec_col),
+                _hyperplane(F.size(F.col(vec_col)), p, seed),
+            )
+            >= 0,
+            F.lit(1 << p),
+        )
         .otherwise(F.lit(0))
         .cast("long")
         for p in range(n_planes)
@@ -163,10 +188,14 @@ def embedding_near_duplicates(
     ).withColumnsRenamed({"tbl": "band", "bkt": "bucket"})
     cand = _banded_pairs(banded, max_bucket_size)
     va = emb.select(
-        F.col(id_col).alias("doc_id_a"), F.col(vec_col).alias("_va")
+        F.col(id_col).alias("doc_id_a"),
+        F.col(vec_col).alias("_va"),
+        _norm(F.col(vec_col)).alias("_na"),
     )
     vb = emb.select(
-        F.col(id_col).alias("doc_id_b"), F.col(vec_col).alias("_vb")
+        F.col(id_col).alias("doc_id_b"),
+        F.col(vec_col).alias("_vb"),
+        _norm(F.col(vec_col)).alias("_nb"),
     )
     return (
         cand.join(va, "doc_id_a")
@@ -174,7 +203,7 @@ def embedding_near_duplicates(
         .withColumn(
             "cosine",
             _dot(F.col("_va"), F.col("_vb"))
-            / (_norm(F.col("_va")) * _norm(F.col("_vb"))),
+            / (F.col("_na") * F.col("_nb")),
         )
         .filter(F.col("cosine") >= threshold)
         .select(
@@ -381,9 +410,19 @@ def lsh_cosine_topk(
         queries, id_col, "q_id", n_planes, n_tables, dim, vec_col, seed=7
     )
     if probe_radius >= 1:
+        # full multi-probe: visit every bucket within probe_radius sign
+        # flips (C(n_planes, 1..r) masks — radius 2 really probes
+        # two-bit flips instead of silently behaving like radius 1)
+        from itertools import combinations
+
+        masks = [
+            sum(1 << p for p in comb)
+            for r in range(1, min(probe_radius, n_planes) + 1)
+            for comb in combinations(range(n_planes), r)
+        ]
         probes = F.array(
             F.col("bkt"),
-            *[F.col("bkt").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)],
+            *[F.col("bkt").bitwiseXOR(F.lit(m)) for m in masks],
         )
         tq = tq.select("q_id", "tbl", F.explode(probes).alias("bkt"))
     # candidate ids first, THEN one cosine per distinct pair — dedup
@@ -396,9 +435,15 @@ def lsh_cosine_topk(
         .distinct()
     )
     qv = queries.select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("_qn"),
     )
-    bv = emb.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"))
+    bv = emb.select(
+        F.col(id_col).alias("b_id"),
+        F.col(vec_col).alias("b_vec"),
+        _norm(F.col(vec_col)).alias("_bn"),
+    )
     scored = (
         cand.join(F.broadcast(qv), "q_id")
         .join(bv, "b_id")
@@ -407,7 +452,7 @@ def lsh_cosine_topk(
             F.col("b_id").alias("neighbor_id"),
             (
                 _dot(F.col("q_vec"), F.col("b_vec"))
-                / (_norm(F.col("q_vec")) * _norm(F.col("b_vec")))
+                / (F.col("_qn") * F.col("_bn"))
             ).alias("cosine"),
         )
     )

@@ -112,7 +112,15 @@ def incremental_files(
     from urllib.parse import unquote, urlparse
 
     listed_mtimes: list[dt.datetime] = []
+    skipped_remote = 0
     for uri in df.inputFiles():
+        if "://" in uri and not uri.startswith("file:"):
+            # non-local store (s3a://, gs://, ...): no os-level mtime.
+            # Contributing nothing keeps the cursor BEHIND (safe —
+            # re-read, never skip), but silently re-reading everything
+            # forever is an operational trap: say so loudly.
+            skipped_remote += 1
+            continue
         p = unquote(urlparse(uri).path) if uri.startswith("file:") else uri
         try:
             listed_mtimes.append(
@@ -125,6 +133,14 @@ def incremental_files(
             )
         except OSError:
             continue
+    if skipped_remote:
+        __import__("logging").getLogger("gear5_spark.sources.files").warning(
+            "incremental_files: %d non-local URIs have no os mtime — the "
+            "cursor cannot advance past them and every sync will re-read "
+            "them. Bind a store-native listing (LastModified) for object "
+            "stores, or use stream_files (exact checkpoint).",
+            skipped_remote,
+        )
 
     def commit() -> Any:
         newest = max(listed_mtimes, default=None)
@@ -160,6 +176,10 @@ def stream_files(
     consumed — strictly stronger than the reference's mtime cursor (two
     files in the same second can't be missed)."""
     reader = spark.readStream.schema(schema)
+    # parity with read_files' default recursive listing: without this a
+    # nested layout (root/yyyy/mm/dd/part-*.parquet) is silently read
+    # shallow by the streaming variant only
+    reader = reader.option("recursiveFileLookup", "true")
     if pattern:
         reader = reader.option("pathGlobFilter", pattern)
     if max_files_per_trigger is not None:

@@ -30,10 +30,27 @@ OUTPUT_SCHEMA = (
 STATE_SCHEMA = "n_events long, max_turn int, last_lsn long"
 
 
-def _track(
+def _make_track(timeout_min: int):
+    """Build the per-group state function with ``timeout_min`` captured
+    BY VALUE: the callable is cloudpickled to executors, so a
+    driver-side module global would silently revert to its default
+    there — a closure ships the configured value."""
+
+    def _track(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        return _track_impl(key, pdfs, state, timeout_min)
+
+    return _track
+
+
+def _track_impl(
     key: tuple,
     pdfs: Iterator[pd.DataFrame],
     state: GroupState,
+    timeout_min: int = 30,
 ) -> Iterator[pd.DataFrame]:
     (conv_id,) = key
     if state.hasTimedOut:
@@ -71,7 +88,8 @@ def _track(
     # counters forever). max() with the watermark keeps the timestamp
     # valid for EventTimeTimeout (must be past the watermark).
     state.setTimeoutTimestamp(
-        max(state.getCurrentWatermarkMs(), ev_ms) + 30 * 60 * 1000
+        max(state.getCurrentWatermarkMs(), ev_ms)
+        + timeout_min * 60 * 1000
     )
     yield pd.DataFrame(
         [
@@ -86,20 +104,43 @@ def _track(
     )
 
 
-def conversation_progress(changes: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+def _require_utc_session(df: DataFrame) -> None:
+    """Fail fast on a non-UTC session timezone: applyInPandasWithState's
+    Arrow path hands the state function SESSION-LOCAL naive timestamps,
+    while ``setTimeoutTimestamp`` compares against the epoch-UTC
+    watermark — any non-UTC offset shifts every idle timeout by that
+    offset (premature finalization west of UTC, hours-late eviction
+    east of it). The engine's session factory pins UTC; enforce it here
+    for externally-built sessions instead of corrupting timeouts."""
+    tz = df.sparkSession.conf.get("spark.sql.session.timeZone", "UTC")
+    if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z"):
+        raise ValueError(
+            "stateful streaming timeout math requires "
+            f"spark.sql.session.timeZone=UTC (got {tz!r}) — see "
+            "gear5_spark.session.get_spark"
+        )
+
+
+def conversation_progress(
+    changes: DataFrame,
+    watermark: str = "10 minutes",
+    timeout_min: int = 30,
+) -> DataFrame:
     """Streaming per-conversation rollup with evicted-on-idle state.
 
     Input: the streaming change feed (lsn, ts_ms, conv_id, turn_idx, ...).
     Output (update mode): one row per conv per micro-batch it appeared
-    in, plus a ``finalized=True`` row when its state times out.
+    in, plus a ``finalized=True`` row when its state times out after
+    ``timeout_min`` minutes of event-time silence.
     """
+    _require_utc_session(changes)
     ev = changes.withColumn(
         "event_time", F.timestamp_millis(F.col("ts_ms"))
     ).withWatermark("event_time", watermark)
     return (
         ev.groupBy("conv_id")
         .applyInPandasWithState(
-            _track,
+            _make_track(timeout_min),
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="update",
@@ -150,6 +191,7 @@ def streaming_sessionize(
     """
     import re
 
+    _require_utc_session(changes)
     m = re.fullmatch(r"(\d+)\s*(second|minute|hour)s?", gap.strip())
     if not m:
         raise ValueError(f"gap must be like '30 minutes', got {gap!r}")

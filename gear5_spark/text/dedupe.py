@@ -27,15 +27,26 @@ def normalized_text(col=None):
 
 def exact_duplicates(docs: DataFrame) -> DataFrame:
     """Exact dedup: keep the min doc_id per normalized-text fingerprint;
-    report group size. One hash-shuffle, partial-aggregated."""
-    return (
-        docs.groupBy(F.md5(normalized_text()).alias("fingerprint"))
+    report group size. One hash-shuffle, partial-aggregated.
+
+    NULL text means UNKNOWN content, never "duplicate of every other
+    null": grouping would collapse unrelated docs under the NULL
+    fingerprint and a keep-min consumer would delete them — null-text
+    docs come back as their own singleton groups instead."""
+    grouped = (
+        docs.filter(F.col("text").isNotNull())
+        .groupBy(F.md5(normalized_text()).alias("fingerprint"))
         .agg(
             F.min("doc_id").alias("keep_doc_id"),
             F.count(F.lit(1)).alias("dup_count"),
         )
-        .orderBy("keep_doc_id")
     )
+    nulls = docs.filter(F.col("text").isNull()).select(
+        F.lit(None).cast("string").alias("fingerprint"),
+        F.col("doc_id").alias("keep_doc_id"),
+        F.lit(1).cast("long").alias("dup_count"),
+    )
+    return grouped.unionByName(nulls).orderBy("keep_doc_id")
 
 
 def shingles(col, n: int = 3):
@@ -96,15 +107,21 @@ def minhash_signatures(
     )
 
 
-def _banded_pairs(banded: DataFrame, max_bucket_size: int) -> DataFrame:
+def _banded_pairs(
+    banded: DataFrame, max_bucket_size: int, mark_star: bool = False
+) -> DataFrame:
     """Candidate pairs from a (doc_id, band, bucket) assignment with the
     hot-bucket blowup bounded: buckets up to ``max_bucket_size`` emit
     all pairs (exact within-bucket recall); larger buckets degrade to
     *star* pairing — every member pairs with the bucket's min doc_id.
     A star is a spanning tree of the bucket, so connected-component
-    dedup loses nothing, while a degenerate bucket of n near-identical
-    docs costs O(n) instead of O(n^2) pairs. Nothing is silently
-    dropped; ``lsh_bucket_stats`` reports which buckets degraded.
+    dedup over the RAW candidate set loses nothing, while a degenerate
+    bucket of n near-identical docs costs O(n) instead of O(n^2) pairs.
+    CAVEAT: a downstream exact-confirm FILTER can break that guarantee —
+    dropping a star's centre edge disconnects members that are mutually
+    similar. Confirm-filtered pipelines must request ``mark_star=True``
+    and exempt (or cluster-collapse) star edges; ``dedup_clusters`` does
+    exactly this. ``lsh_bucket_stats`` reports which buckets degraded.
 
     ONE shuffle: the bucket groups once (collect_list) and pairs expand
     from the sorted id array with JVM array lambdas — a self-join would
@@ -127,11 +144,21 @@ def _banded_pairs(banded: DataFrame, max_bucket_size: int) -> DataFrame:
             F.when(F.size("ids") <= max_bucket_size, all_pairs).otherwise(
                 star_pairs
             )
-        ).alias("p")
+        ).alias("p"),
+        (F.size("ids") > max_bucket_size).alias("_star"),
     )
-    return pairs.select(
-        F.col("p.a").alias("doc_id_a"), F.col("p.b").alias("doc_id_b")
-    ).distinct()
+    out = pairs.select(
+        F.col("p.a").alias("doc_id_a"),
+        F.col("p.b").alias("doc_id_b"),
+        F.col("_star").alias("star"),
+    )
+    if mark_star:
+        # a pair may arise from both a degraded and a normal bucket —
+        # star=false (exhaustively generated somewhere) wins
+        return out.groupBy("doc_id_a", "doc_id_b").agg(
+            F.min(F.col("star").cast("int")).cast("boolean").alias("star")
+        )
+    return out.select("doc_id_a", "doc_id_b").distinct()
 
 
 def lsh_near_duplicates(
@@ -141,6 +168,7 @@ def lsh_near_duplicates(
     shingle_n: int = 3,
     max_bucket_size: int = 1000,
     hasher: str = "xxhash64",
+    mark_star: bool = False,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: docs sharing any band bucket.
 
@@ -151,7 +179,7 @@ def lsh_near_duplicates(
     linear star pairing (see :func:`_banded_pairs`), so a pathological
     corpus of near-identical docs cannot trigger a quadratic blowup."""
     banded = lsh_band_buckets(docs, num_hashes, bands, shingle_n, hasher)
-    return _banded_pairs(banded, max_bucket_size)
+    return _banded_pairs(banded, max_bucket_size, mark_star)
 
 
 def lsh_band_buckets(
@@ -246,10 +274,18 @@ def ngram_jaccard(
             F.size(F.array_intersect("sh_a", "sh_b"))
             / F.size(F.array_union("sh_a", "sh_b")),
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_id_a", "doc_id_b", F.round("jaccard", 6).alias("jaccard"))
     )
-    return j
+    # star edges from degraded hot buckets are CONNECTIVITY edges, not
+    # similarity claims: filtering them by jaccard would disconnect
+    # mutually-similar members of an over-budget bucket (see
+    # _banded_pairs). They pass through when the candidate set marks
+    # them; the jaccard value still reports the measured similarity.
+    keep = F.col("jaccard") >= threshold
+    if "star" in candidates.columns:
+        keep = keep | F.col("star")
+    return j.filter(keep).select(
+        "doc_id_a", "doc_id_b", F.round("jaccard", 6).alias("jaccard")
+    )
 
 
 def connected_components(
@@ -361,6 +397,7 @@ def dedup_clusters(
         docs,
         candidates=lsh_near_duplicates(
             docs,
+            mark_star=True,
             num_hashes=num_hashes,
             bands=bands,
             shingle_n=shingle_n,

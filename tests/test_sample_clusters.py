@@ -313,3 +313,41 @@ def test_hash_draw_delimiter_injection(spark):
     )
     draws = [r.d for r in df.select(hash_draw(["k1", "k2"]).alias("d")).collect()]
     assert len(set(draws)) == len(draws)
+
+
+def test_star_edges_survive_confirm_filter(spark):
+    """Star edges from degraded hot buckets are connectivity edges: the
+    exact-Jaccard confirm must pass them through (dropping a star centre
+    edge would disconnect mutually-similar members — the round-3 review
+    finding on _banded_pairs)."""
+    from pyspark.sql import functions as F
+
+    from gear5_spark.text.dedupe import ngram_jaccard
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "one two three four five six seven"),  # dissimilar to 1
+            (3, "one two three four five six eight"),
+        ],
+        "doc_id long, text string",
+    )
+    cands = spark.createDataFrame(
+        [
+            (1, 2, True),   # star edge: jaccard(1,2) ~ 0 but must survive
+            (2, 3, False),  # normal candidate: confirmed by jaccard
+            (1, 3, False),  # normal candidate: correctly dropped
+        ],
+        "doc_id_a long, doc_id_b long, star boolean",
+    )
+    out = ngram_jaccard(docs, candidates=cands, threshold=0.5)
+    got = {(r["doc_id_a"], r["doc_id_b"]) for r in out.collect()}
+    assert (1, 2) in got      # star passes through
+    assert (2, 3) in got      # similar pair confirmed
+    assert (1, 3) not in got  # dissimilar non-star dropped
+    # without the star column the same candidate set filters strictly
+    plain = ngram_jaccard(
+        docs, candidates=cands.drop("star"), threshold=0.5
+    )
+    got2 = {(r["doc_id_a"], r["doc_id_b"]) for r in plain.collect()}
+    assert got2 == {(2, 3)}
