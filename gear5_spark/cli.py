@@ -83,7 +83,14 @@ def cmd_discover(args) -> int:
     from gear5_spark.pipeline.runner import TRANSCRIPTS_SCHEMA
     from gear5_spark.sources.changelog import read_changelog
 
-    cfg = PipelineConfig.from_file(args.config)
+    try:
+        cfg = PipelineConfig.from_file(args.config)
+    except (OSError, ValueError, TypeError, KeyError) as e:
+        # one-JSON-document contract: config problems surface as a LOG
+        # document (matching cmd_check/cmd_read), never a raw traceback
+        print(json.dumps({"type": "LOG", "level": "ERROR",
+                          "message": f"config error: {e}"}))
+        return 1
     spark = _spark()
     from pyspark.sql import functions as F
 
@@ -118,12 +125,14 @@ def cmd_discover(args) -> int:
                 if v is not None:
                     vals_by_key.setdefault(k, []).append(v)
     # the sanitize pool must match the applier's exactly (apply.py
-    # extend_registry: taken = registry names | KEY_COLS) or the
-    # advertised catalog name diverges from the column the applier
-    # actually creates for the same key
+    # extend_registry: taken = registry names | KEY_COLS | RESERVED_COLS)
+    # or the advertised catalog name diverges from the column the
+    # applier actually creates for the same key
+    from gear5_spark.pipeline.apply import RESERVED_COLS
+
     name_map = sanitize_unique(
         [k for k in vals_by_key if k not in BASE_PAYLOAD_SOURCES],
-        taken=set(BASE_PAYLOAD) | set(KEY_COLS),
+        taken=set(BASE_PAYLOAD) | set(KEY_COLS) | RESERVED_COLS,
     )
     typed = {
         name_map[k]: {"type": infer_token(v[:100]), "source": k}
@@ -199,20 +208,32 @@ def cmd_read(args) -> int:
         import shutil
         import tempfile
 
-        from gen_fixtures import generate_changelog
-
-        wdir = tempfile.mkdtemp(prefix="gear5-warm-")
         try:
-            generate_changelog(
-                f"{wdir}/log", n_events=5_000, n_convs=100,
-                chunk_rows=5_000, seed=7,
-            )
-            wt = bootstrap_table(
-                spark, f"{wdir}/table", n_buckets=cfg.n_buckets
-            )
-            replay_batch(spark, f"{wdir}/log", wt, f"{wdir}/ckpt")
-        finally:
-            shutil.rmtree(wdir, ignore_errors=True)
+            from gen_fixtures import generate_changelog
+        except ImportError:
+            # gen_fixtures is a repo-root dev script, not packaged —
+            # warmup is a bench nicety, not a correctness step: degrade
+            # with a LOG line instead of dying before the timed run
+            print(json.dumps({
+                "type": "LOG", "level": "WARN",
+                "message": "warmup skipped: gen_fixtures not importable "
+                           "(run from the repo root to enable)",
+            }))
+            generate_changelog = None
+
+        if generate_changelog is not None:
+            wdir = tempfile.mkdtemp(prefix="gear5-warm-")
+            try:
+                generate_changelog(
+                    f"{wdir}/log", n_events=5_000, n_convs=100,
+                    chunk_rows=5_000, seed=7,
+                )
+                wt = bootstrap_table(
+                    spark, f"{wdir}/table", n_buckets=cfg.n_buckets
+                )
+                replay_batch(spark, f"{wdir}/log", wt, f"{wdir}/ckpt")
+            finally:
+                shutil.rmtree(wdir, ignore_errors=True)
     if os.environ.get("SPARK_GRAFT_PHASES"):
         from gear5_spark import perf
 

@@ -114,16 +114,16 @@ def reconstruct(
     else:
         paths = [os.path.join(table.table_dir, f["path"]) for f in files]
         df = table.spark.read.schema(read_schema).parquet(*paths)
-    # ordering mirrors the CoW guard (merge.py): an unparseable LSN on a
-    # DELTA row wins (CoW: batch wins when its LSN is unparseable), an
-    # unparseable LSN on a BASE row loses (CoW: batch wins when the
-    # stored LSN is unparseable), ties prefer delta. Among multiple
-    # unparseable-LSN deltas the pick is arbitrary — unreachable from
+    # ordering mirrors the CoW guard (merge.py): a NULL or unparseable
+    # LSN on a DELTA row wins (CoW: coalesce(b>=t, True) makes the
+    # batch win whenever either LSN is NULL/unparseable), a NULL or
+    # unparseable LSN on a BASE row loses, ties prefer delta. Among
+    # multiple no-LSN deltas the pick is arbitrary — unreachable from
     # the engine's own feed, whose normalize types lsn numerically.
     is_delta = F.col(OP_COL).isNotNull()
     lsn_num = F.col(CDC_LSN).try_cast("long")
     ord_expr = F.struct(
-        F.when(is_delta & lsn_num.isNull() & F.col(CDC_LSN).isNotNull(), 1)
+        F.when(is_delta & lsn_num.isNull(), 1)
         .otherwise(0)
         .alias("o0"),
         F.coalesce(lsn_num, F.lit(-1)).alias("o1"),

@@ -124,7 +124,13 @@ def decode_url(col: Column) -> Column:
 def stamp_cdc_columns(df: DataFrame) -> DataFrame:
     """Attach the three ``_cdc_*`` metadata columns the reference injects
     into every CDC record (drivers/postgres/internal/cdc.go:70-78)."""
-    updated = F.timestamp_millis(F.col("ts_ms"))
+    # timestamp_millis multiplies by 1000 via multiplyExact: a corrupt
+    # ts_ms (e.g. nanoseconds) would throw 'long overflow' and kill the
+    # batch — guard to the representable range, degrade to NULL
+    _MS_MAX = 9_223_372_036_854_775  # Long.MaxValue // 1000
+    updated = F.timestamp_millis(
+        F.when(F.col("ts_ms").between(-_MS_MAX, _MS_MAX), F.col("ts_ms"))
+    )
     return (
         df.withColumn(CDC_LSN, F.col("lsn").cast("string"))
         .withColumn(CDC_UPDATED_AT, updated)
@@ -194,7 +200,15 @@ def _coerce_sql(raw: Column, token: str) -> Column:
     if token == "timestamp_iso":
         return coerce_timestamp(raw)
     if token == "epoch_seconds":
-        return F.timestamp_seconds(coerce_double(raw))
+        # same range guard + year clamp as coerce_timestamp: an
+        # unguarded timestamp_seconds saturates (or throws) on corrupt
+        # magnitudes (millis-for-seconds, 1e30) instead of degrading to
+        # NULL like the pandas path and the reference's [0,9999] clamp
+        n = coerce_double(raw)
+        ts = F.timestamp_seconds(
+            F.when(n.between(_EPOCH_S_MIN, _EPOCH_S_MAX), n)
+        )
+        return F.when(F.year(ts).between(0, 9999), ts)
     return raw  # string / already-typed complex
 
 
@@ -239,7 +253,12 @@ def normalize_changes(
 
 
 def _clamp_year(ts: pd.Series) -> pd.Series:
-    # year clamp [0, 9999] — reformat.go:164-170
+    # year clamp [0, 9999] — reformat.go:164-170. KNOWN LIMITATION of
+    # the pandas mode: datetime64[ns] only spans years 1677-2262, so
+    # valid timestamps outside that window coerce to NULL here while
+    # the sql mode keeps them (its clamp is the full [0, 9999]). Feeds
+    # carrying far-future/past timestamps should use normalize_mode=
+    # "sql" (the default and the reference-parity path).
     return ts.where((ts.dt.year >= 0) & (ts.dt.year <= 9999))
 
 
@@ -251,30 +270,44 @@ def _coerce_pd(series: pd.Series, token: str) -> pd.Series:
         out[s.isin(_FALSE_SET)] = False
         return out
     if token == "long":
-        num = pd.to_numeric(series, errors="coerce")
-        if num.dtype.kind == "f":
-            # truncate like the sql path ("3.9" -> 3, reformat.go:190-219)
-            # — astype(Int64) refuses non-integral floats; integral input
-            # stays int64 and skips the lossy float detour entirely
-            import numpy as np
+        # ELEMENT-WISE, not pd.to_numeric: a whole-series float coercion
+        # (forced by any None/str in the batch) silently rounds huge
+        # in-range ints (2**63-1 -> 2**63) and then crashes or nulls
+        # them. Per-value conversion mirrors the sql path exactly:
+        # ints pass when in int64 range, floats/float-strings truncate
+        # (then range-check), bools and junk degrade to NULL
+        # (reformat.go:190-219; try_cast semantics).
+        def _to_long(v):
+            if v is None or isinstance(v, bool):
+                return None
+            if isinstance(v, int):
+                return v if -(2**63) <= v < 2**63 else None
+            if isinstance(v, float):
+                if v != v or not (-(2.0**63) <= v < 2.0**63):
+                    return None
+                return int(v)
+            if isinstance(v, str):
+                s_ = v.strip()
+                try:
+                    n_ = int(s_)
+                    return n_ if -(2**63) <= n_ < 2**63 else None
+                except ValueError:
+                    try:
+                        f_ = float(s_)
+                    except ValueError:
+                        return None
+                    if f_ != f_ or not (-(2.0**63) <= f_ < 2.0**63):
+                        return None
+                    return int(f_)
+            return None
 
-            num = np.trunc(num)
-            # out-of-int64-range values (e.g. "1e30") would make
-            # astype(Int64) raise and kill the whole task; the sql
-            # path's try_cast degrades them to NULL — mirror that
-            # float(2**63-1) rounds UP to exactly 2**63, which astype
-            # would still reject — bound strictly below 2**63 instead
-            num = num.where((num >= -(2.0**63)) & (num < 2.0**63))
-        elif num.dtype.kind == "u":
-            # all-non-negative input with at least one value in
-            # [2**63, 2**64) parses to uint64 — astype(Int64) would
-            # raise on the oversized ones. Mask them via OBJECT ints
-            # (a float detour would round 2**63-1 up and re-crash);
-            # in-range values cast exactly.
-            num = num.astype("object").where(
-                num <= 0x7FFF_FFFF_FFFF_FFFF
-            )
-        return num.astype("Int64")
+        # build the nullable array from the PYTHON ints directly —
+        # Series.map would infer float64 for int+None mixes and round
+        # int64-max on the way through
+        return pd.Series(
+            pd.array([_to_long(v) for v in series], dtype="Int64"),
+            index=series.index,
+        )
     if token == "double":
         return pd.to_numeric(series, errors="coerce").astype("Float64")
     if token == "epoch_seconds":
@@ -293,7 +326,16 @@ def _coerce_pd(series: pd.Series, token: str) -> pd.Series:
         )
         return _clamp_year(from_num.fillna(from_str).dt.tz_localize(None))
     if token == "string":
-        return series.astype("string")
+        # complex parsed values must serialize as JSON text (the sql
+        # path keeps the raw JSON), not the Python repr — "{'a': 1}"
+        # is not re-parseable downstream
+        return series.map(
+            lambda v: (
+                json.dumps(v)
+                if isinstance(v, (dict, list))
+                else (None if v is None else str(v))
+            )
+        ).astype("string")
     return series  # complex (array/struct): python objects pass through
 
 

@@ -82,3 +82,44 @@ def test_mor_delete_tombstones_drop_rows(spark, tmp_path):
     applier(read_changelog(spark, log, max_lsn=1499), 0)
     applier(read_changelog(spark, log, min_lsn=1499), 1)
     _assert_matches(table, log)
+
+
+def test_mor_null_lsn_delta_wins_like_cow(spark, tmp_path):
+    """CoW's order guard makes a NULL-lsn batch row WIN
+    (coalesce(b>=t, True)); MoR reconstruction must order identically,
+    or the two sink modes return different rows for the same feed."""
+    from pyspark.sql import types as T
+
+    from gear5_spark.lake.mor import merge_delta
+    from gear5_spark.lake.table import LakeTable
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType(), False),
+            T.StructField("v", T.LongType(), True),
+            T.StructField("_cdc_lsn", T.StringType(), True),
+        ]
+    )
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), schema=schema, key_columns=["k"],
+        n_buckets=2,
+    )
+    from gear5_spark.lake.merge import merge_into
+
+    merge_into(
+        t,
+        spark.createDataFrame(
+            [("a", 1, "100", "insert")],
+            "k string, v long, _cdc_lsn string, op string",
+        ),
+        order_guard=False,
+    )
+    merge_delta(
+        t,
+        spark.createDataFrame(
+            [("a", 2, None, "update")],
+            "k string, v long, _cdc_lsn string, op string",
+        ),
+    )
+    got = {r["k"]: r["v"] for r in t.read().select("k", "v").collect()}
+    assert got == {"a": 2}  # NULL-lsn delta wins, matching CoW

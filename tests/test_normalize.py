@@ -154,3 +154,33 @@ def test_coerce_long_uint64_range_degrades_to_null():
     assert pd.isna(out.iloc[0]) and pd.isna(out.iloc[1])
     assert out.iloc[2] == 9223372036854775807  # exact, no float detour
     assert out.iloc[3] == 7
+
+
+def test_epoch_seconds_sql_clamps_corrupt_magnitudes(spark):
+    """The sql epoch_seconds path must degrade millis-for-seconds and
+    absurd magnitudes to NULL (year clamp parity with the pandas path),
+    and stamp_cdc_columns must survive a nanosecond-scale ts_ms instead
+    of throwing 'long overflow'."""
+    from gear5_spark.operators.normalize import (
+        _coerce_sql,
+        stamp_cdc_columns,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("1700000000",), ("1700000000000",), ("1e30",), ("junk",)],
+        "v string",
+    )
+    out = df.select(_coerce_sql(F.col("v"), "epoch_seconds").alias("ts"))
+    vals = [r["ts"] for r in out.collect()]
+    assert vals[0] is not None and vals[0].year == 2023
+    assert vals[1] is None  # millis sent as seconds -> year 55830 -> NULL
+    assert vals[2] is None and vals[3] is None
+
+    ev = spark.createDataFrame(
+        [(1, 0, "insert", 1_700_000_000_000), (2, 0, "insert", int(1.7e18))],
+        "lsn long, txn_seq long, op string, ts_ms long",
+    )
+    rows = stamp_cdc_columns(ev).select("_cdc_updated_at").collect()
+    assert rows[0][0] is not None
+    assert rows[1][0] is None  # corrupt magnitude degrades, no crash
