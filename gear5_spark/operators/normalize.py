@@ -333,7 +333,9 @@ def _coerce_pd(series: pd.Series, token: str) -> pd.Series:
             lambda v: (
                 json.dumps(v)
                 if isinstance(v, (dict, list))
-                else (None if v is None else str(v))
+                # pd.isna catches None, float NaN (a MISSING key in the
+                # batch frame), and pd.NA — str() would store 'nan'
+                else (None if pd.isna(v) else str(v))
             )
         ).astype("string")
     return series  # complex (array/struct): python objects pass through
