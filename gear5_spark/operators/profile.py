@@ -25,19 +25,44 @@ def profile_columns(
     """One row per column: (column, n_rows, n_nulls, n_distinct,
     min_value, max_value) — min/max stringified so mixed column types
     share one schema."""
+    from pyspark.sql import types as T
+
     cols = cols or df.columns
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
+
+    def _orderable(dt) -> bool:
+        # MAP (and maps nested in arrays/structs) supports no ordering —
+        # min/max/count_distinct on it fails the WHOLE aggregation, so
+        # unorderable columns degrade per-column instead (null stats)
+        if isinstance(dt, T.MapType):
+            return False
+        if isinstance(dt, T.ArrayType):
+            return _orderable(dt.elementType)
+        if isinstance(dt, T.StructType):
+            return all(_orderable(f.dataType) for f in dt.fields)
+        return True
+
     aggs = [F.count(F.lit(1)).alias("__total")]
     for c in cols:
+        ok = _orderable(dtypes[c])
         distinct = (
-            F.count_distinct(F.col(c))
-            if exact
-            else F.approx_count_distinct(F.col(c))
+            (
+                F.count_distinct(F.col(c))
+                if exact
+                else F.approx_count_distinct(F.col(c))
+            )
+            if ok
+            else F.lit(None).cast("long")
         )
         aggs += [
             F.count(F.col(c)).alias(f"{c}__nonnull"),
             distinct.alias(f"{c}__distinct"),
-            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
-            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+            (F.min(F.col(c)).cast("string") if ok else F.lit(None)).alias(
+                f"{c}__min"
+            ),
+            (F.max(F.col(c)).cast("string") if ok else F.lit(None)).alias(
+                f"{c}__max"
+            ),
         ]
     one = df.agg(*aggs)
     per_col = F.array(

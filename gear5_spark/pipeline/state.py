@@ -37,10 +37,19 @@ _STATE_SCHEMA = T.StructType(
 
 
 def _encode(v: Any) -> tuple[str | None, str]:
+    import decimal as _decimal
+
     if v is None:
         return None, "null"
     if isinstance(v, dt.datetime):
         return v.isoformat(), "timestamp"
+    # date/Decimal must round-trip TYPED: the string fallback would make
+    # the next advance() compare date-vs-str and crash the sync forever
+    # (MaximumOnDataType semantics require same-type comparison)
+    if isinstance(v, dt.date):
+        return v.isoformat(), "date"
+    if isinstance(v, _decimal.Decimal):
+        return str(v), "decimal"
     if isinstance(v, bool):
         return str(v).lower(), "bool"
     if isinstance(v, int):
@@ -51,10 +60,16 @@ def _encode(v: Any) -> tuple[str | None, str]:
 
 
 def _decode(s: str | None, t: str) -> Any:
+    import decimal as _decimal
+
     if s is None or t == "null":
         return None
     if t == "timestamp":
         return dt.datetime.fromisoformat(s)
+    if t == "date":
+        return dt.date.fromisoformat(s)
+    if t == "decimal":
+        return _decimal.Decimal(s)
     if t == "int64":
         return int(s)
     if t == "float64":
@@ -135,6 +150,7 @@ class CursorStateStore:
             "cursor_field": cursor_field,
             "cursor_value": enc,
             "cursor_type": enc_t,
+            "updated_at": dt.datetime.now(dt.timezone.utc).isoformat(),
         }
         self._save(data)
         return value
@@ -149,7 +165,13 @@ class CursorStateStore:
                     entry["cursor_field"],
                     entry.get("cursor_value"),
                     entry.get("cursor_type"),
-                    None,
+                    (
+                        dt.datetime.fromisoformat(entry["updated_at"]).replace(
+                            tzinfo=None
+                        )
+                        if entry.get("updated_at")
+                        else None
+                    ),
                 )
             )
         return spark.createDataFrame(rows, _STATE_SCHEMA)

@@ -25,8 +25,7 @@ from pyspark.sql import functions as F
 __all__ = ["doc_token_stats", "corpus_top_terms", "pii_counts"]
 
 
-def _tokens(col):
-    return F.split(F.trim(F.lower(col)), r"\s+")
+from gear5_spark.text.quality import tokens as _tokens  # single tokenizer
 
 
 def doc_token_stats(
@@ -93,7 +92,13 @@ def pii_counts(
         F.regexp_count(F.col(text_col), F.lit(p)).alias(name)
         for name, p in PII_PATTERNS.items()
     ]
-    out = docs.select(*cols)
+    # NULL text must read as "no PII" (counts 0, has_pii false), not a
+    # NULL that vanishes from BOTH has_pii filters and NULL-poisons sums
+    out = docs.select(
+        cols[0],
+        *[F.coalesce(col, F.lit(0)).alias(name)
+          for col, name in zip(cols[1:], PII_PATTERNS)],
+    )
     return out.withColumn(
         "has_pii",
         sum(F.col(n) for n in PII_PATTERNS) > F.lit(0),

@@ -179,3 +179,23 @@ def test_incremental_files_mtime_snapshot_at_read(spark, tmp_path):
         spark, state, "ns", "drop", d, pattern="*.parquet"
     )
     assert df2.count() == 10
+
+
+def test_cursor_state_date_and_decimal_roundtrip(tmp_path):
+    """date/Decimal cursors must round-trip TYPED: the old string
+    fallback made the second advance() compare date-vs-str and crash
+    the stream's sync forever."""
+    import datetime as dt
+    from decimal import Decimal
+
+    s = CursorStateStore(str(tmp_path / "s.json"))
+    s.advance("ns", "d", "day", dt.date(2024, 1, 1))
+    assert s.get("ns", "d") == dt.date(2024, 1, 1)
+    s.advance("ns", "d", "day", dt.date(2024, 1, 2))  # crashed before
+    assert s.get("ns", "d") == dt.date(2024, 1, 2)
+    s.advance("ns", "d", "day", dt.date(2023, 12, 31))  # monotone: no-op
+    assert s.get("ns", "d") == dt.date(2024, 1, 2)
+
+    s.advance("ns", "m", "amount", Decimal("10.50"))
+    s.advance("ns", "m", "amount", Decimal("10.75"))
+    assert s.get("ns", "m") == Decimal("10.75")
