@@ -111,7 +111,15 @@ def extract_features(
         for pdf in batches:
             feats, hashes, sizes = [], [], []
             for payload, kind in zip(pdf["payload"], pdf["kind"]):
-                b = bytes(payload) if payload is not None else b""
+                if payload is None:
+                    # a MISSING payload is not an empty one: hashing it
+                    # as b"" would make payload-less media collide with
+                    # genuinely zero-byte media (and with each other)
+                    sizes.append(None)
+                    hashes.append(None)
+                    feats.append(None)
+                    continue
+                b = bytes(payload)
                 sizes.append(len(b))
                 hashes.append(hashlib.sha256(b).hexdigest())
                 if decode_stub:
@@ -122,7 +130,7 @@ def extract_features(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "n_bytes": pd.array(sizes, dtype="int32"),
+                    "n_bytes": pd.array(sizes, dtype="Int32"),
                     "sha256": hashes,
                     "feature": feats,
                 }

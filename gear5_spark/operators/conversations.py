@@ -261,9 +261,12 @@ def asof_join(
     among right rows sharing (key, ts) resolve to an arbitrary winner —
     pre-dedupe with ``latest_per_key`` if the right side can collide.
     """
-    right_cols = right_cols or [
-        c for c in right.columns if c not in (on, right_ts)
-    ]
+    if right_cols is None:  # explicit [] means "timestamp only"
+        right_cols = [c for c in right.columns if c not in (on, right_ts)]
+    # the matched timestamp is ALWAYS emitted separately as
+    # right_ts+suffix — including right_ts here again would produce two
+    # identically-named output columns (ambiguous reference downstream)
+    right_cols = [c for c in right_cols if c != right_ts]
     out_names = {c: c + suffix if c in left.columns else c for c in right_cols}
     if strict:
         left_tag, right_tag = 0, 1

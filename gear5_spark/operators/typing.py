@@ -35,6 +35,9 @@ def _simple(dt: T.DataType) -> str:
     return dt.typeName()
 
 
+_PHYS_ORDER = ["byte", "short", "integer", "long", "float", "double"]
+
+
 def can_widen(src: T.DataType, dst: T.DataType) -> bool:
     """True iff a column of type ``src`` may evolve in place to ``dst``."""
     if src == dst:
@@ -48,9 +51,13 @@ def can_widen(src: T.DataType, dst: T.DataType) -> bool:
             # the reference lattice has only FLOAT64 above INT64, so a
             # lossless widen must target double
             return False
-        return _WIDEN_RANK[s] <= _WIDEN_RANK[d]
-    if s == "timestamp" and d in ("timestamp_ntz",):
-        return False
+        if _WIDEN_RANK[s] != _WIDEN_RANK[d]:
+            return _WIDEN_RANK[s] <= _WIDEN_RANK[d]
+        # same lattice rank, different physical width (long vs int,
+        # double vs float): only the non-narrowing direction is a widen
+        # — rank equality alone would bless long->int, silently
+        # truncating values > 2^31 ("narrowing never" policy)
+        return _PHYS_ORDER.index(s) <= _PHYS_ORDER.index(d)
     return False
 
 

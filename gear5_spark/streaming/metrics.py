@@ -76,7 +76,9 @@ def run_metrics_stream(
         .start()
     )
     finished = query.awaitTermination(timeout_sec)
-    if not finished:
+    # no-timeout awaitTermination returns None (void) AFTER a complete
+    # drain — only a real timeout (False with a timeout set) is an error
+    if timeout_sec is not None and not finished:
         # the drain outran the timeout: returning silently would hand the
         # caller a PARTIAL metrics table with a writer still racing it
         query.stop()
