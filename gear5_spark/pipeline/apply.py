@@ -385,8 +385,20 @@ class TranscriptsApplier:
                         txn_batch_id=int(batch_id),
                         lineage={
                             "batch_id": int(batch_id),
-                            "lsn_min": int(stats["lsn_min"]),
-                            "lsn_max": int(stats["lsn_max"]),
+                            # all-malformed batches may carry NULL lsn on
+                            # every row (broken feeds are exactly what the
+                            # dead-letter path is for) — lineage lsn
+                            # columns are nullable longs
+                            "lsn_min": (
+                                int(stats["lsn_min"])
+                                if stats.get("lsn_min") is not None
+                                else None
+                            ),
+                            "lsn_max": (
+                                int(stats["lsn_max"])
+                                if stats.get("lsn_max") is not None
+                                else None
+                            ),
                             "event_count": int(stats["event_count"]),
                             "txn_ids_hash": format(
                                 stats["txn_hash"] & ((1 << 64) - 1), "x"

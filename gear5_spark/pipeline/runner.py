@@ -199,7 +199,13 @@ def run_stream(
         writer = writer.trigger(processingTime=processing_time)
     query = writer.start()
     if available_now:
-        drained = query.awaitTermination(timeout_sec)
+        if timeout_sec is None:
+            # no-arg awaitTermination blocks until the drain completes and
+            # returns None — that is success, not a timeout
+            query.awaitTermination()
+            drained = True
+        else:
+            drained = query.awaitTermination(timeout_sec)
         if not drained:
             # timeout hit with the drain still running: returning the
             # live query would let callers read a half-applied table

@@ -180,13 +180,22 @@ def embedding_near_duplicates(
     proposes candidates (bucket equi-join, hot buckets star-capped via
     the shared ``_banded_pairs`` machinery), exact cosine >= threshold
     confirms. The confirm step touches only candidate pairs — never the
-    O(n^2) cross join — which is the 10^9-vector dedup path."""
+    O(n^2) cross join — which is the 10^9-vector dedup path.
+
+    Star edges from degraded hot buckets are CONNECTIVITY edges, not
+    similarity claims (text/dedupe._banded_pairs documents the
+    contract): filtering them by cosine would disconnect
+    mutually-similar members of an over-budget bucket, so they pass
+    through the confirm un-filtered — exactly like ``ngram_jaccard``
+    handles marked candidates — with the measured cosine still
+    reported. Consumers doing component-based dedup lose nothing;
+    consumers needing per-pair similarity claims read ``cosine``."""
     from gear5_spark.text.dedupe import _banded_pairs
 
     banded = _table_buckets(
         emb, id_col, "doc_id", n_planes, n_tables, dim, vec_col, seed=7
     ).withColumnsRenamed({"tbl": "band", "bkt": "bucket"})
-    cand = _banded_pairs(banded, max_bucket_size)
+    cand = _banded_pairs(banded, max_bucket_size, mark_star=True)
     va = emb.select(
         F.col(id_col).alias("doc_id_a"),
         F.col(vec_col).alias("_va"),
@@ -205,7 +214,7 @@ def embedding_near_duplicates(
             _dot(F.col("_va"), F.col("_vb"))
             / (F.col("_na") * F.col("_nb")),
         )
-        .filter(F.col("cosine") >= threshold)
+        .filter((F.col("cosine") >= threshold) | F.col("star"))
         .select(
             F.col("doc_id_a").alias("vec_id_a"),
             F.col("doc_id_b").alias("vec_id_b"),
@@ -341,9 +350,14 @@ def ivf_cosine_topk(
     ``centroids`` overrides the default min-id quantizer — pass
     :func:`kmeans_centroids` output for a data-adapted partitioning."""
     cents = centroids or ivf_centroids(emb, n_centroids, vec_col, id_col)
+    # norms once per ROW before the probe join (same shape as
+    # cosine_topk) — inside the join each base vector is scored against
+    # up to n_probe queries and each query against its whole candidate
+    # list, so a per-pair _norm would re-walk both arrays per candidate
     b = emb.select(
         F.col(id_col).alias("b_id"),
         F.col(vec_col).alias("b_vec"),
+        _norm(F.col(vec_col)).alias("_bn"),
         F.element_at(_top_lists(F.col(vec_col), cents, 1), 1).alias(
             "list_id"
         ),
@@ -351,6 +365,7 @@ def ivf_cosine_topk(
     q = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("_qn"),
         F.explode(_top_lists(F.col(vec_col), cents, n_probe)).alias(
             "list_id"
         ),
@@ -363,7 +378,7 @@ def ivf_cosine_topk(
             F.col("b_id").alias("neighbor_id"),
             (
                 _dot(F.col("q_vec"), F.col("b_vec"))
-                / (_norm(F.col("q_vec")) * _norm(F.col("b_vec")))
+                / (F.col("_qn") * F.col("_bn"))
             ).alias("cosine"),
         )
     )

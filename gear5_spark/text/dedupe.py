@@ -497,9 +497,13 @@ def simhash_near_duplicates(
     Recall guarantee: <=3 differing bits can touch at most 3 of the 4
     bands, so every true pair shares at least one band (pigeonhole) —
     band-LSH recall is exactly 1.0 for the hamming<=3 predicate.
-    Hot buckets degrade to star pairing like MinHash-LSH (the star
-    centre of an over-full bucket shares that whole band, so hamming<=
-    3 members stay connected through it for component-dedup purposes)."""
+    Hot buckets degrade to star pairing like MinHash-LSH; star edges
+    pass through the hamming confirm UN-filtered (they are connectivity
+    edges, not similarity claims — dropping a star-centre edge whose
+    hamming exceeds 3 would disconnect mutually-similar members of the
+    degraded bucket; see ``_banded_pairs``). The ``hamming`` column
+    still reports the measured distance, so per-pair consumers can
+    re-filter while component-dedup consumers lose nothing."""
     band_bits = simhash_bits(hasher) // 4
     band_mask = (1 << band_bits) - 1
     sigs = simhash(docs, shingle_n, hasher)
@@ -519,7 +523,7 @@ def simhash_near_duplicates(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
-    pairs = _banded_pairs(banded, max_bucket_size)
+    pairs = _banded_pairs(banded, max_bucket_size, mark_star=True)
     sa = sigs.select(
         F.col("doc_id").alias("doc_id_a"), F.col("simhash").alias("_sig_a")
     )
@@ -535,6 +539,8 @@ def simhash_near_duplicates(
             F.bit_count(
                 F.col("_sig_a").bitwiseXOR(F.col("_sig_b"))
             ).alias("hamming"),
+            "star",
         )
-        .filter(F.col("hamming") <= 3)
+        .filter((F.col("hamming") <= 3) | F.col("star"))
+        .select("doc_id_a", "doc_id_b", "hamming")
     )

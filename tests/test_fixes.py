@@ -281,3 +281,39 @@ def test_bounded_replay_rerun_cannot_regress(spark, tmp_path):
         for r in active(table.read()).collect()
     }
     assert got == want  # nothing regressed to the lsn<=999 state
+
+
+def test_all_malformed_null_lsn_batch_still_commits(spark, tmp_path):
+    """ADVICE r3: an all-malformed batch whose corrupt rows ALSO carry
+    NULL lsn (broken feeds are what the dead-letter path exists for)
+    must still commit its quarantined-only lineage — min/max lsn are
+    None and the nullable lineage columns record that, instead of a
+    TypeError mid-commit."""
+    log = str(tmp_path / "log")
+    os.makedirs(log, exist_ok=True)
+    payload = {"role": "user", "text": "x", "ts": 1_700_000_000}
+    n = 2
+    tbl = pa.table(
+        {
+            "lsn": [None] * n,
+            "txn_id": [0] * n,
+            "txn_seq": [0, 1],
+            "op": ["insert"] * n,
+            "ts_ms": [1_700_000_000_000, 1_700_000_000_001],
+            "conv_id": [None] * n,
+            "turn_idx": [0] * n,
+            "after_json": [json.dumps(payload)] * n,
+        },
+        schema=CHANGE_SCHEMA,
+    )
+    pq.write_table(tbl, os.path.join(log, "chunk-000000.parquet"))
+    table = bootstrap_table(spark, str(tmp_path / "t"), n_buckets=4)
+    applier = make_applier(
+        table, str(tmp_path / "c"), quarantine_dir=str(tmp_path / "dead")
+    )
+    snap = applier(read_changelog(spark, log), 0)
+    assert snap is not None
+    row = [e for e in table.lineage_df().collect() if e["batch_id"] == 0]
+    assert row and row[0]["malformed_count"] == 2
+    assert row[0]["lsn_min"] is None and row[0]["lsn_max"] is None
+    assert table.last_committed_batch("transcripts-cdc") == 0

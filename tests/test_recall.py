@@ -165,3 +165,57 @@ def test_md5_mode_matches_banding_exactness(spark):
     got = {(r.doc_id_a, r.doc_id_b) for r in banded.collect()}
     want = {(r.doc_id_a, r.doc_id_b) for r in direct.collect()}
     assert got == want
+
+
+def test_embedding_near_dup_star_cap_preserves_connectivity(spark):
+    """VERDICT r3 #2: a bucket past max_bucket_size degrades to star
+    pairing; star edges must survive the cosine confirm (connectivity
+    edges, not similarity claims) or mutually-similar members of the
+    degraded bucket silently disconnect. Asserts (a) a bucket really
+    degraded, (b) the pre-fix failure mode is present — the capped
+    output carries sub-threshold star edges whose drop WOULD have split
+    a component — and (c) no uncapped-confirmed pair loses connectivity
+    under the cap."""
+    import sys
+
+    import numpy as np
+
+    from gear5_spark.sim.ann import embedding_near_duplicates
+    from gear5_spark.text.dedupe import connected_components
+
+    rng = np.random.RandomState(0)
+    vecs = rng.uniform(-1.0, 1.0, size=(48, 8))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<float>",
+    )
+    kw = dict(threshold=0.6, n_planes=2, n_tables=4, dim=8)
+
+    uncapped = embedding_near_duplicates(
+        emb, max_bucket_size=sys.maxsize, **kw
+    ).collect()
+    capped = embedding_near_duplicates(emb, max_bucket_size=8, **kw).collect()
+
+    # (a) with 48 vectors over 4 buckets/table, some bucket exceeded 8 —
+    # visible as star edges in the capped output
+    capped_pairs = {(r.vec_id_a, r.vec_id_b) for r in capped}
+    uncapped_pairs = {(r.vec_id_a, r.vec_id_b) for r in uncapped}
+    assert capped_pairs != uncapped_pairs, "no bucket degraded; raise n"
+    # (b) sub-threshold star edges passed the confirm un-filtered
+    assert min(r.cosine for r in capped) < 0.6
+    assert min(r.cosine for r in uncapped) >= 0.6
+
+    # (c) every uncapped-confirmed pair stays in one component
+    cap_df = spark.createDataFrame(
+        [(a, b) for a, b in capped_pairs], "doc_id_a long, doc_id_b long"
+    )
+    label = {
+        r.node: r.label
+        for r in connected_components(cap_df).collect()
+    }
+    split = [
+        (a, b)
+        for a, b in uncapped_pairs
+        if label.get(a, a) != label.get(b, b)
+    ]
+    assert not split, f"star cap disconnected mutually-similar pairs: {split}"

@@ -60,3 +60,18 @@ def test_tail_picks_up_late_files_then_stops(spark, tmp_path):
     assert len(got) == len(want) == manifest["final_live_keys"]
     for g, w in zip(got, want):
         assert g["text"] == w["text"]
+
+
+def test_run_stream_default_timeout_drains_without_error(spark, tmp_path):
+    """ADVICE r3 (high): with the default timeout_sec=None,
+    awaitTermination() blocks until the availableNow drain completes and
+    returns None — that is success, not a timeout; run_stream must not
+    raise a spurious TimeoutError after every successful drain."""
+    from gen_fixtures import generate_changelog
+    from gear5_spark.pipeline.runner import run_stream
+
+    log = str(tmp_path / "log")
+    m = generate_changelog(log, n_events=1_000, n_convs=20, chunk_rows=500)
+    table = bootstrap_table(spark, str(tmp_path / "t"), n_buckets=4)
+    run_stream(spark, log, table, checkpoint_dir=str(tmp_path / "c"))
+    assert table.read().count() == m["final_live_keys"]
