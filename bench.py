@@ -112,12 +112,22 @@ def _replay(spark, log_dir: str, tag: str, warmup: bool = True,
         # VERDICT r2 #2's evidence layer)
         prev = PHASES_BY_CORES.get(cores)
         if prev is None or elapsed < prev["total_sec"]:
+            sm = perf.stage_metrics(spark, prefix=f"{tag}|")
+            # total data movement (scan input + shuffle both directions)
+            # per event — the lever the 8->32 inversion on this
+            # bandwidth-collapsing box responds to (VERDICT r3 #3); the
+            # driver can watch this number shrink across rounds
+            moved_mb = sum(
+                m.get("input_mb", 0.0)
+                + m.get("shuffle_read_mb", 0.0)
+                + m.get("shuffle_write_mb", 0.0)
+                for m in sm.values()
+            )
             PHASES_BY_CORES[cores] = {
                 "total_sec": round(elapsed, 3),
+                "bytes_per_event": round(moved_mb * 2**20 / SCALE_EVENTS, 1),
                 "phases": perf.timings(),
-                "stage_metrics": perf.stage_metrics(
-                    spark, prefix=f"{tag}|"
-                ),
+                "stage_metrics": sm,
             }
     perf.untrack()
     assert table.read().count() > 0
@@ -339,6 +349,10 @@ def main() -> None:
         "parallel_core_sec": round(c_fit, 1),
         "fixed_sec": round(d_fit, 2),
         "projected_efficiency_100x_input": round(proj, 3),
+    }
+    scaling["bytes_per_event"] = {
+        str(c): PHASES_BY_CORES[c].get("bytes_per_event")
+        for c in sorted(PHASES_BY_CORES)
     }
 
     # --- streaming replay (micro-batched exactly-once path), CoW vs MoR

@@ -245,7 +245,7 @@ def cmd_read(args) -> int:
             app_id=cfg.app_id, salt_buckets=cfg.salt_buckets,
             normalize_mode=cfg.normalize_mode,
             delete_mode=cfg.delete_mode,
-            sink_mode=cfg.sink_mode,
+            sink_mode=cfg.resolved_sink_mode,
             compact_every=cfg.compact_every,
             quarantine_dir=cfg.quarantine_dir,
             exclude_columns=cfg.exclude_columns,
@@ -256,7 +256,7 @@ def cmd_read(args) -> int:
         applier = make_applier(
             table, cfg.checkpoint_dir, app_id=cfg.app_id,
             delete_mode=cfg.delete_mode, normalize_mode=cfg.normalize_mode,
-            salt_buckets=cfg.salt_buckets, sink_mode=cfg.sink_mode,
+            salt_buckets=cfg.salt_buckets, sink_mode=cfg.resolved_sink_mode,
             compact_every=cfg.compact_every, quarantine_dir=cfg.quarantine_dir,
             exclude_columns=cfg.exclude_columns,
             rollup=rollup,

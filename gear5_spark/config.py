@@ -27,7 +27,11 @@ class PipelineConfig:
     delete_mode: str = "hard"  # hard | soft
     normalize_mode: str = "sql"  # sql | pandas
     salt_buckets: int = 1
-    sink_mode: str = "cow"  # cow | mor
+    # None = per-mode default: stream -> mor (delta append + periodic
+    # compaction; per-batch CoW rewrite amplification is the wrong shape
+    # for a steady tail — see runner.run_stream), bulk -> cow (one big
+    # rewrite, zero read amplification afterwards)
+    sink_mode: str | None = None  # cow | mor | None (auto)
     compact_every: int = 8
     max_files_per_trigger: int = 4
     quarantine_dir: str | None = None
@@ -71,8 +75,10 @@ class PipelineConfig:
             problems.append("n_buckets must be >= 1")
         if self.salt_buckets < 1:
             problems.append("salt_buckets must be >= 1")
-        if self.sink_mode not in ("cow", "mor"):
-            problems.append(f"sink_mode must be cow|mor, got {self.sink_mode}")
+        if self.sink_mode not in ("cow", "mor", None):
+            problems.append(
+                f"sink_mode must be cow|mor|None(auto), got {self.sink_mode}"
+            )
         # sink_mode=mor + delete_mode=soft is legal: `read` bootstraps
         # the table with the soft property, and MoR reconstruct keeps
         # delete winners as tombstones (lake/mor.py). A PRE-EXISTING
@@ -85,6 +91,15 @@ class PipelineConfig:
             if k in self.exclude_columns:
                 problems.append(f"cannot exclude key column {k}")
         return problems
+
+    @property
+    def resolved_sink_mode(self) -> str:
+        """Per-mode default when ``sink_mode`` is None: streaming tails
+        get merge-on-read, bulk replays copy-on-write (rationale in
+        ``pipeline.runner.run_stream``)."""
+        if self.sink_mode is not None:
+            return self.sink_mode
+        return "mor" if self.mode == "stream" else "cow"
 
     def to_dict(self) -> dict:
         return asdict(self)

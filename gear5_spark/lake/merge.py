@@ -93,6 +93,7 @@ def merge_into(
     txn_batch_id: int | None = None,
     lineage: dict[str, Any] | None = None,
     affected_buckets: list[int] | None = None,
+    pre_placed: int | None = None,
 ) -> tuple[Snapshot, MergeStats]:
     """Apply a deduped change batch (one row per key) to the table.
 
@@ -100,6 +101,11 @@ def merge_into(
     (missing -> null-backfilled; new -> additive schema evolution via the
     widening lattice). In ``soft`` delete mode, deletes survive as
     tombstones with ``_cdc_deleted_at`` set; ``hard`` removes the row.
+
+    ``pre_placed``: the batch is already identity-placed by bucket (see
+    ``LakeTable.placement_expr``) under a snapshot with that bucket
+    count — the empty-target bypass then writes it without a second
+    shuffle. The join paths ignore it (their shuffle re-keys the data).
     """
     if delete_mode not in ("hard", "soft"):
         raise ValueError(f"delete_mode must be hard|soft, got {delete_mode}")
@@ -170,7 +176,9 @@ def merge_into(
         )
         new_data = _project(upserts, write_schema)
         try:
-            _, new_entries = table.write_data_files(new_data, snap=snap)
+            _, new_entries = table.write_data_files(
+                new_data, snap=snap, pre_placed=pre_placed
+            )
         finally:
             if affected_buckets is None:
                 keyed.unpersist()

@@ -41,11 +41,14 @@ def merge_delta(
     txn_app_id: str | None = None,
     txn_batch_id: int | None = None,
     lineage: dict[str, Any] | None = None,
+    pre_placed: int | None = None,
 ) -> Snapshot:
     """Append the deduped batch as delta files; no base rewrite.
 
     The batch keeps its ``op`` (persisted as ``_op``) so deletes survive
-    as logical tombstones until compaction."""
+    as logical tombstones until compaction. ``pre_placed``: see
+    ``LakeTable.write_data_files`` — an upstream identity placement lets
+    the delta write skip its repartition shuffle."""
     snap = table.snapshot()
     data_col_names = {f.name for f in snap.schema.fields}
     new_fields = [
@@ -76,7 +79,7 @@ def merge_delta(
     delta = keyed.select(
         *cols, F.col(op_col).alias(OP_COL), F.col(BUCKET_COL)
     )
-    _, entries = table.write_data_files(delta, snap=snap)
+    _, entries = table.write_data_files(delta, snap=snap, pre_placed=pre_placed)
     for e in entries:
         e["kind"] = "delta"
     return table.commit(

@@ -127,6 +127,30 @@ class Snapshot:
 # of Murmur3, independent of table)
 _IDENT_MAP_CACHE: dict[int, list[int]] = {}
 
+
+def identity_slot_expr(n_slots: int, slot_expr):
+    """Int expression whose ``repartition(n_slots, ...)`` hash-partition
+    slot equals ``slot_expr`` (an int column in [0, n_slots)).
+
+    ``repartition(n, col)`` places a row in ``pmod(murmur3(col), n)``;
+    we precompute, per slot s, an integer x_s with
+    ``pmod(hash(x_s), n) == s`` (driver-side Murmur3 probe, no Spark
+    job — ``murmur3_int32`` matches ``F.hash`` exactly, pinned by
+    tests/test_lake_table.py) and partition on ``x_[slot]``."""
+    cache = _IDENT_MAP_CACHE.get(n_slots)
+    if cache is None:
+        from gear5_spark.lake.xxh64 import murmur3_int32
+
+        mapping: dict[int, int] = {}
+        x = 0
+        while len(mapping) < n_slots:
+            mapping.setdefault(murmur3_int32(x) % n_slots, x)
+            x += 1
+        cache = [mapping[s] for s in range(n_slots)]
+        _IDENT_MAP_CACHE[n_slots] = cache
+    arr = F.array(*[F.lit(x) for x in cache])
+    return F.element_at(arr, slot_expr + 1)
+
 # manifest files are immutable once written — cache their entries
 # process-wide (bounded FIFO; re-read is cheap if evicted)
 _MANIFEST_FILE_CACHE: dict[str, list[dict[str, Any]]] = {}
@@ -496,22 +520,39 @@ class LakeTable:
         output partition then holds EXACTLY one bucket — one file per
         bucket with a plain parquet write, no dynamic-partition writer
         (measured 2.4x slower) and no hash collisions mixing buckets."""
-        cache = _IDENT_MAP_CACHE.get(n_buckets)
-        if cache is None:
-            # driver-side Murmur3 probe (no Spark job): pmod(hash(x), n)
-            # for int32 x matches F.hash exactly — pinned by
-            # tests/test_lake_table.py
-            from gear5_spark.lake.xxh64 import murmur3_int32
+        return identity_slot_expr(n_buckets, F.col(BUCKET_COL))
 
-            mapping: dict[int, int] = {}
-            x = 0
-            while len(mapping) < n_buckets:
-                mapping.setdefault(murmur3_int32(x) % n_buckets, x)
-                x += 1
-            cache = [mapping[b] for b in range(n_buckets)]
-            _IDENT_MAP_CACHE[n_buckets] = cache
-        arr = F.array(*[F.lit(x) for x in cache])
-        return F.element_at(arr, F.col(BUCKET_COL) + 1)
+    def placement_expr(
+        self, snap: Snapshot | None = None, slots_per_bucket: int = 1
+    ):
+        """(n_slots, column expr) that an UPSTREAM operator can
+        ``repartition(n_slots, ...)`` on so every resulting partition
+        holds exactly one bucket — letting :meth:`write_data_files`
+        (via ``pre_placed``) skip its own repartition and write the
+        batch WITHOUT a second shuffle of the parsed payload.
+
+        ``slots_per_bucket`` sub-splits each bucket into that many
+        slots by a per-key hash, so upstream parallelism is
+        ``n_buckets * slots_per_bucket`` instead of being capped at the
+        bucket count (each slot still holds rows of exactly one bucket
+        — ``slot // slots_per_bucket == bucket`` — at the cost of up to
+        ``slots_per_bucket`` files per bucket per commit). The sub-key
+        hashes the full bucket columns, so all events of one key share
+        a slot — a co-located groupBy on (slot, key) is shuffle-free."""
+        snap = snap or self.snapshot()
+        n = snap.properties["n_buckets"]
+        q = max(1, int(slots_per_bucket))
+        slot = F.col(BUCKET_COL) * q
+        if q > 1:
+            cols = snap.properties.get("bucket_columns") or [
+                snap.properties.get("bucket_column")
+            ]
+            sub = F.pmod(
+                F.xxhash64(*[F.col(c).cast("string") for c in cols], F.lit(q)),
+                F.lit(q),
+            ).cast("int")
+            slot = slot + sub
+        return n * q, identity_slot_expr(n * q, slot)
 
     def write_data_files(
         self,
@@ -519,6 +560,7 @@ class LakeTable:
         commit_token: str | None = None,
         n_buckets: int | None = None,
         snap: Snapshot | None = None,
+        pre_placed: int | None = None,
     ) -> tuple[str, list[dict[str, Any]]]:
         """Write ``df`` (must carry ``_bucket``) as immutable data files.
 
@@ -529,6 +571,16 @@ class LakeTable:
         from task-side write stats instead. Uncommitted directories are
         orphans (cleaned by :meth:`vacuum`), never visible to readers —
         abort safety.
+
+        ``pre_placed``: the caller already partitioned ``df`` upstream
+        with :meth:`placement_expr` under a snapshot whose bucket count
+        was ``pre_placed`` — when it matches this write's ``n_buckets``
+        the repartition (a full shuffle of the parsed batch) is skipped
+        and partitions are written as-is (possibly several files per
+        bucket, one per placement slot). A stale count (concurrent
+        rebucket) falls back to the normal repartition, and
+        ``_scan_written``'s min==max bucket assertion remains the hard
+        safety net against any partition mixing buckets.
         """
         import pyarrow.parquet as pq
 
@@ -542,9 +594,12 @@ class LakeTable:
         snap = snap or self.snapshot()
         props = snap.properties
         n_buckets = n_buckets or props.get("n_buckets", 16)
-        part = df.repartition(
-            n_buckets, self._identity_partition_expr(n_buckets)
-        )
+        if pre_placed is not None and pre_placed == n_buckets:
+            part = df
+        else:
+            part = df.repartition(
+                n_buckets, self._identity_partition_expr(n_buckets)
+            )
         # opt-in clustering (sort_columns table property): rows sorted
         # within each bucket file — parquet row-group/page stats on the
         # sort key then skip inside the file for point lookups and range

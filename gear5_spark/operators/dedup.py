@@ -33,14 +33,28 @@ def latest_per_key(
     key_cols: list[str],
     order_cols: tuple[str, ...] = ORDER_COLS,
     salt_buckets: int = 1,
+    co_group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Reduce a change-event DataFrame to the single latest event per key.
 
     Output columns == input columns (latest event's values win wholesale).
     Ties are impossible by construction — (lsn, txn_seq) is unique per
     event (FIXTURES.md §2) — but the struct ordering is total regardless.
+
+    ``co_group_cols``: columns FUNCTIONALLY DEPENDENT on the key (e.g. a
+    bucket/placement slot derived from it) added to the groupBy. Groups
+    are unchanged; the point is physical: when the input is already
+    hash-partitioned on one of these columns, Catalyst elides the
+    aggregation exchange entirely — dedup runs shuffle-free inside the
+    partitioning an upstream repartition chose (see
+    ``LakeTable.placement_expr``). Mutually exclusive with salting
+    (a salted co-located plan would reintroduce the shuffle anyway).
     """
-    payload_cols = [c for c in df.columns if c not in key_cols]
+    co_group_cols = co_group_cols or []
+    if co_group_cols and salt_buckets > 1:
+        raise ValueError("co_group_cols and salt_buckets are exclusive")
+    group_cols = [*co_group_cols, *key_cols]
+    payload_cols = [c for c in df.columns if c not in group_cols]
     ord_expr = F.struct(*[F.col(c) for c in order_cols])
     payload = F.struct(*[F.col(c) for c in payload_cols])
 
@@ -58,8 +72,10 @@ def latest_per_key(
             ).alias("_p")
         )
     else:
-        stage2 = df.groupBy(*key_cols).agg(F.max_by(payload, ord_expr).alias("_p"))
+        stage2 = df.groupBy(*group_cols).agg(
+            F.max_by(payload, ord_expr).alias("_p")
+        )
 
     return stage2.select(
-        *key_cols, *[F.col(f"_p.{c}").alias(c) for c in payload_cols]
+        *group_cols, *[F.col(f"_p.{c}").alias(c) for c in payload_cols]
     ).select(*df.columns)

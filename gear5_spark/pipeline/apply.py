@@ -310,6 +310,7 @@ class TranscriptsApplier:
         # codegen CPU and serialized this phase at 32 cores (measured,
         # DIAG_DEDUP.json) — discovery runs as a normal codegen job over
         # the persisted deduped batch in extend_registry instead.
+        snap0 = self.table.snapshot()
         obs = Observation(f"cdc-stats-{uuid.uuid4().hex[:8]}")
         metrics = [
             F.min("lsn").alias("lsn_min"),
@@ -323,7 +324,7 @@ class TranscriptsApplier:
             # (null-key) row's hash bucket would otherwise be read and
             # rewritten for nothing every quarantine-bearing batch
             F.collect_set(
-                F.when(~_malformed_key(), self.table.bucket_expr())
+                F.when(~_malformed_key(), self.table.bucket_expr(snap0))
             ).alias("buckets"),
             F.sum(
                 F.when(_malformed_key(), 1).otherwise(0)
@@ -353,15 +354,68 @@ class TranscriptsApplier:
         # this cuts from_json work to O(distinct keys), not O(events).
         # Persisting the (smaller) deduped set means the merge never
         # re-scans raw input.
-        deduped_raw = latest_per_key(
-            valid, KEY_COLS, salt_buckets=self.salt_buckets
-        ).persist()
+        #
+        # Default path FUSES the dedup shuffle with the table's bucket
+        # placement: the one unavoidable shuffle of the raw payload is
+        # keyed by the table's identity placement slot, the groupBy then
+        # runs exchange-free inside those partitions (slot is in the
+        # grouping key and is the partitioning column), and the
+        # downstream write skips ITS repartition (pre_placed) — one
+        # shuffle total per batch instead of two (measured: the write
+        # re-shuffle moved ~1.2 GB both ways per 4M events). Salted
+        # dedup (pathological per-key skew) keeps the classic two-
+        # shuffle plan — salting is incompatible with co-location.
+        pre_placed: int | None = None
+        if self.salt_buckets == 1:
+            from gear5_spark.lake.table import BUCKET_COL
+
+            # slots_per_bucket lifts dedup/parse parallelism above the
+            # bucket count (q files per bucket per commit is the cost);
+            # sized so the fused plan keeps the session's configured
+            # shuffle width. MoR pins q=1: every delta file written is
+            # read back by EVERY reconstruct until compaction, so q
+            # files per bucket per micro-batch multiplies read
+            # amplification across the whole compact_every window —
+            # while its batches are small enough that bucket-count
+            # parallelism already covers the dedup stage.
+            parts = int(
+                batch.sparkSession.conf.get("spark.sql.shuffle.partitions")
+            )
+            n_b = snap0.properties["n_buckets"]
+            q = 1 if self.sink_mode == "mor" else max(1, parts // n_b)
+            n_slots, slot_expr = self.table.placement_expr(
+                snap0, slots_per_bucket=q
+            )
+            placed = valid.withColumn(
+                BUCKET_COL, self.table.bucket_expr(snap0)
+            ).withColumn("_pslot", slot_expr)
+            placed = placed.repartition(n_slots, "_pslot")
+            deduped_raw = (
+                latest_per_key(placed, KEY_COLS, co_group_cols=["_pslot"])
+                .drop("_pslot", BUCKET_COL)
+                .persist()
+            )
+            pre_placed = n_b
+        else:
+            deduped_raw = latest_per_key(
+                valid, KEY_COLS, salt_buckets=self.salt_buckets
+            ).persist()
         from gear5_spark.perf import span
 
         try:
             with span("apply.dedup_count"):
                 n_keys = deduped_raw.count()
-            stats = obs.get
+            try:
+                stats = obs.get
+            except Exception:
+                # AQE empty-relation propagation can re-plan the
+                # CollectMetrics node away when the valid side collapses
+                # to empty (observed on Spark 4.1 with an all-malformed
+                # batch feeding the placed repartition), leaving the
+                # Observation unfilled — recompute the identical
+                # aggregates as an explicit job. Only this degenerate
+                # (empty or all-quarantined) batch pays the extra scan.
+                stats = batch.agg(*metrics).first().asDict()
             if stats.get("malformed_count") and self.quarantine_dir:
                 # idempotent per batch: the dead-letter write is OUTSIDE
                 # the atomic commit, so a crash-then-replay would append
@@ -475,6 +529,7 @@ class TranscriptsApplier:
                     txn_app_id=self.app_id,
                     txn_batch_id=int(batch_id),
                     lineage=lineage,
+                    pre_placed=pre_placed,
                 )
                 # bound read amplification: fold deltas into base
                 # periodically (its own atomic commit, no txn id — derived
@@ -495,6 +550,7 @@ class TranscriptsApplier:
                     txn_batch_id=int(batch_id),
                     lineage=lineage,
                     affected_buckets=affected,
+                    pre_placed=pre_placed,
                 )
             self.applied.append(mstats)
             if self.rollup is not None:
