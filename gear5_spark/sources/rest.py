@@ -23,7 +23,11 @@ AFTER ``createDataFrame`` being distributed.
 
 from __future__ import annotations
 
+import json
 import time
+import urllib.error
+import urllib.parse
+import urllib.request
 from dataclasses import dataclass, field
 from typing import Any, Callable
 
@@ -51,6 +55,68 @@ class Page:
 
 # fetch(params) -> Page; params carry after/limit/cursor_field/cursor_gt
 FetchFn = Callable[[dict[str, Any]], Page]
+
+
+def make_http_fetch(
+    url: str,
+    *,
+    headers: dict[str, str] | None = None,
+    timeout_sec: float = 30.0,
+    records_key: str = "results",
+    next_after_path: tuple[str, ...] = ("paging", "next", "after"),
+) -> FetchFn:
+    """Default LIVE fetch: a stdlib-urllib client implementing the
+    pluggable ``FetchFn`` contract against a real JSON-over-HTTP
+    endpoint.
+
+    Maps the reference driver's wire behavior
+    (``drivers/hubspot/internal/base_stream.go:341-409``) onto this
+    module's protocol: request params go as query-string fields
+    (None values omitted), a ``429`` response raises :class:`RateLimited`
+    carrying the ``Retry-After`` header so ``_fetch_with_retry`` sleeps
+    exactly what the server asked (missing/garbled header -> 0), any
+    other HTTP error propagates (fail-fast, same as the reference's
+    non-retryable path), and every request carries a hard
+    ``timeout_sec`` so a hung endpoint cannot stall the pipeline.
+
+    The response body may be a HubSpot-shaped object
+    (``{"results": [...], "paging": {"next": {"after": ...}}}`` —
+    ``base_stream.go:179-212``; key names configurable via
+    ``records_key`` / ``next_after_path``) or a bare JSON array
+    (Sheets-style value dump: one page, no cursor).
+
+    Pagination stays serial per stream by design — scale comes from
+    many streams in parallel and from everything after
+    ``createDataFrame`` being distributed (module docstring)."""
+
+    def fetch(params: dict[str, Any]) -> Page:
+        q = {k: str(v) for k, v in params.items() if v is not None}
+        full = url + ("?" + urllib.parse.urlencode(q) if q else "")
+        req = urllib.request.Request(
+            full, headers={"Accept": "application/json", **(headers or {})}
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=timeout_sec) as resp:
+                body = json.loads(resp.read().decode("utf-8"))
+        except urllib.error.HTTPError as e:
+            if e.code == 429:
+                try:
+                    after_sec = float(e.headers.get("Retry-After") or 0)
+                except ValueError:
+                    after_sec = 0.0
+                raise RateLimited(retry_after_sec=after_sec) from e
+            raise
+        if isinstance(body, list):
+            return Page(records=body, next_after=None)
+        node: Any = body
+        for k in next_after_path:
+            node = node.get(k) if isinstance(node, dict) else None
+            if node is None:
+                break
+        nxt = None if node is None else str(node)
+        return Page(records=list(body.get(records_key) or []), next_after=nxt)
+
+    return fetch
 
 
 @dataclass

@@ -167,3 +167,148 @@ def test_tied_then_advancing_cursor_rearms_restart():
     got = fetch_records(api.fetch, stream)
     assert {r["id"] for r in got} == {r["id"] for r in api.rows}
     assert stream.stats["restarts"] >= 2  # re-armed after the tie drains
+
+
+# ---- live HTTP client (make_http_fetch) against a local socket server ----
+
+
+class _FakeRestHandler:
+    """HubSpot-shaped paginated JSON endpoint with a scripted one-shot
+    429 + Retry-After (base_stream.go:341-409 semantics)."""
+
+
+def _start_fake_server(rows, *, rate_limit_on_call=None, retry_after="2"):
+    import http.server
+    import threading
+
+    state = {"calls": 0}
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def do_GET(self):
+            from urllib.parse import parse_qs, urlparse
+
+            state["calls"] += 1
+            if state["calls"] == rate_limit_on_call:
+                self.send_response(429)
+                self.send_header("Retry-After", retry_after)
+                self.end_headers()
+                return
+            q = {k: v[0] for k, v in parse_qs(urlparse(self.path).query).items()}
+            sel = rows
+            if "cursor_gt" in q:
+                sel = [r for r in sel if r["updated"] > int(q["cursor_gt"])]
+            start = int(q.get("after") or 0)
+            limit = int(q.get("limit") or 100)
+            page = sel[start : start + limit]
+            nxt = start + limit
+            body = {"results": page}
+            if nxt < len(sel):
+                body["paging"] = {"next": {"after": str(nxt)}}
+            payload = __import__("json").dumps(body).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv, state
+
+
+def test_http_fetch_drains_pages_over_real_socket():
+    from gear5_spark.sources.rest import make_http_fetch
+
+    rows = [{"id": i, "updated": 1000 + i} for i in range(350)]
+    srv, state = _start_fake_server(rows)
+    try:
+        fetch = make_http_fetch(f"http://127.0.0.1:{srv.server_address[1]}/v1")
+        stream = RestStream("hub", "contacts", cursor_field="updated",
+                            page_size=100)
+        got = fetch_records(fetch, stream)
+        assert [r["id"] for r in got] == [r["id"] for r in rows]
+        assert state["calls"] == 4  # 100+100+100+50
+        # cursor params reach the wire: incremental re-read returns the tail
+        got2 = fetch_records(fetch, stream, cursor_start=1339)
+        assert [r["id"] for r in got2] == [r["id"] for r in rows[340:]]
+    finally:
+        srv.shutdown()
+
+
+def test_http_fetch_honors_retry_after_header():
+    from gear5_spark.sources.rest import make_http_fetch
+
+    rows = [{"id": i, "updated": 1000 + i} for i in range(120)]
+    srv, state = _start_fake_server(rows, rate_limit_on_call=2,
+                                    retry_after="3")
+    try:
+        fetch = make_http_fetch(f"http://127.0.0.1:{srv.server_address[1]}/v1")
+        stream = RestStream("hub", "contacts", cursor_field="updated",
+                            page_size=100)
+        slept = []
+        got = fetch_records(fetch, stream, sleep=slept.append)
+        assert [r["id"] for r in got] == [r["id"] for r in rows]
+        assert slept == [3.0]  # the server's Retry-After, not a guess
+        assert stream.stats["retries"] == 1
+    finally:
+        srv.shutdown()
+
+
+def test_http_fetch_non_retryable_error_propagates():
+    import urllib.error
+
+    from gear5_spark.sources.rest import make_http_fetch
+
+    import http.server
+    import threading
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            self.send_response(500)
+            self.end_headers()
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        fetch = make_http_fetch(f"http://127.0.0.1:{srv.server_address[1]}/v1")
+        stream = RestStream("hub", "contacts")
+        with pytest.raises(urllib.error.HTTPError):
+            fetch_records(fetch, stream)
+        assert stream.stats["retries"] == 0  # 500 is not the 429 path
+    finally:
+        srv.shutdown()
+
+
+def test_http_fetch_bare_array_body():
+    # Sheets-style value dump: a bare JSON array is one page, no cursor
+    import http.server
+    import threading
+
+    from gear5_spark.sources.rest import make_http_fetch
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            payload = b'[{"A": "1", "B": "x"}, {"A": "2", "B": "y"}]'
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        fetch = make_http_fetch(f"http://127.0.0.1:{srv.server_address[1]}/v")
+        page = fetch({"limit": 100, "after": None})
+        assert page.next_after is None
+        assert page.records == [{"A": "1", "B": "x"}, {"A": "2", "B": "y"}]
+    finally:
+        srv.shutdown()
