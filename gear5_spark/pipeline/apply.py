@@ -171,21 +171,70 @@ class TranscriptsApplier:
     ) -> dict[str, dict]:
         """Discover, type, and persist newly-observed payload keys in a
         CONSTANT number of Spark jobs (independent of how many keys
-        appear — VERDICT r2 #6).
+        appear — VERDICT r2 #6). See :meth:`_count_and_discover` (job 1)
+        and :meth:`_extend_from_counts` (job 2)."""
+        _, counts = self._count_and_discover(sample_src, registry)
+        return self._extend_from_counts(sample_src, registry, counts)
 
-        Job 1 (every batch): tokenize each payload's top-level KEYS once
-        (``json_object_keys`` — no value copies), explode, drop known
-        source keys, count per key — full codegen, map-side combined,
-        shuffles only (key, partial count).
-        Round 2's design rode a ``collect_set(json_object_keys(...))``
-        metric on the raw-scan Observation instead; CollectMetrics
-        evaluates its aggregates on the INTERPRETED path, which burned
-        ~7x the codegen CPU and serialized the whole dedup_count phase
-        at high core counts (measured in DIAG_DEDUP.json) — discovery
-        now runs as a normal job over the persisted DEDUPED batch, which
-        is also strictly smaller than the raw feed.
+    def _count_and_discover(
+        self, sample_src: DataFrame, registry: dict[str, dict]
+    ) -> tuple[int, dict[str, int]]:
+        """ONE scan returning (row count, per-key counts of unknown
+        payload keys).
 
-        Job 2 (only when new keys exist): re-scan with a per-key
+        The discovery job tokenizes each payload's top-level KEYS once
+        (``json_object_keys`` — no value copies), explodes, drops known
+        source keys, counts per key — full codegen, map-side combined,
+        shuffles only (key, partial count). The batch ROW count rides the
+        same scan as a bare ``count(1)`` Observation: unlike round 2's
+        regression (a ``collect_set(json_object_keys(...))`` metric — the
+        interpreted CollectMetrics path burned ~7x codegen CPU,
+        DIAG_DEDUP.json), a constant-width count costs nothing on the
+        interpreted path, and fusing it here removes what used to be a
+        separate full pass over the persisted deduped batch (~2.5 GB of
+        cache traffic per 4M-event batch, BENCH_DETAIL stage metrics).
+
+        Grouping is per KEY (bounded by schema width), never per
+        key-combination (worst case 2^width) — safe for adversarial
+        payloads at scale."""
+        import uuid as _uuid
+
+        from pyspark.sql import Observation
+
+        known_sources = {f["source"] for f in registry.values()}
+
+        def _not_known(col):
+            return ~col.isin(*known_sources) if known_sources else F.lit(True)
+
+        obs = Observation(f"dedup-count-{_uuid.uuid4().hex[:8]}")
+        counts = {
+            r["k"]: r["c"]
+            for r in sample_src.observe(obs, F.count(F.lit(1)).alias("n"))
+            .select(
+                F.explode_outer(F.json_object_keys("after_json")).alias("k")
+            )
+            .filter(F.col("k").isNotNull() & _not_known(F.col("k")))
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+        try:
+            n = int(obs.get["n"])
+        except Exception:
+            # AQE empty-relation propagation can re-plan the
+            # CollectMetrics node away when the input collapses to empty
+            # (same hazard as the batch-stats Observation below) — the
+            # count is then trivially recomputable
+            n = sample_src.count()
+        return n, counts
+
+    def _extend_from_counts(
+        self,
+        sample_src: DataFrame,
+        registry: dict[str, dict],
+        counts: dict[str, int],
+    ) -> dict[str, dict]:
+        """Job 2 (only when new keys exist): re-scan with a per-key
         hash-sample rate (~4x oversample of the 100-value target) and a
         bounded collect per key, then parse the sampled docs driver-side
         for reference-parity type inference (``typeutils/datatype.go:
@@ -196,24 +245,6 @@ class TranscriptsApplier:
         A key observed only with null values (or only in losing events)
         is deferred to a later batch with zero data loss — the winners
         being applied don't carry it."""
-        known_sources = {f["source"] for f in registry.values()}
-
-        def _not_known(col):
-            return ~col.isin(*known_sources) if known_sources else F.lit(True)
-
-        # job 1 materializes KEYS only (json_object_keys tokenizes
-        # without building value copies — measurably cheaper than a
-        # from_json map when payload values are large)
-        counts = {
-            r["k"]: r["c"]
-            for r in sample_src.select(
-                F.explode(F.json_object_keys("after_json")).alias("k")
-            )
-            .filter(_not_known(F.col("k")))
-            .groupBy("k")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .collect()
-        }
         if not counts:
             return registry
         oversample = 4 * _SAMPLE_PER_KEY
@@ -403,8 +434,15 @@ class TranscriptsApplier:
         from gear5_spark.perf import span
 
         try:
+            # one fused job: materializes the persisted deduped batch,
+            # counts it (Observation), and discovers unknown payload keys
+            # — what used to be dedup_count + registry job 1 as two full
+            # passes is now one (VERDICT r3: cut bytes-per-event)
+            registry0 = self.load_registry()
             with span("apply.dedup_count"):
-                n_keys = deduped_raw.count()
+                n_keys, new_key_counts = self._count_and_discover(
+                    deduped_raw, registry0
+                )
             try:
                 stats = obs.get
             except Exception:
@@ -472,8 +510,8 @@ class TranscriptsApplier:
             # persisted deduped set costs memory reads, never a source
             # rescan
             with span("apply.extend_registry"):
-                registry = self.extend_registry(
-                    deduped_raw, self.load_registry()
+                registry = self._extend_from_counts(
+                    deduped_raw, registry0, new_key_counts
                 )
             # P2 column exclusion happens BEFORE the parse: an excluded
             # payload field is never extracted, never typed, never lands
