@@ -245,7 +245,12 @@ def main() -> None:
             spark = _fresh_spark(cores)
             t = _replay(
                 spark, scale_log, f"scale{cores}-r{rep}",
-                warmup=(rep == 0),  # one JVM: codegen warms once
+                # every visit is a FRESH JVM (sessions don't survive the
+                # core-level switch), so every visit warms up — an
+                # unwarmed rep-1 pays JIT/codegen inside its timed run
+                # and the min() just discards it, halving the value of
+                # the interleaved second pass
+                warmup=True,
                 cores=cores,
             )
             t_by_cores[cores] = min(t_by_cores.get(cores, t), t)
@@ -330,7 +335,7 @@ def main() -> None:
     # events c grows ~2500x while d stays ~constant, so the projected
     # efficiency is what the rule's cluster run would see; both raw and
     # projected are reported.
-    n1, n2 = SCALE_LOW, SCALE_HIGH
+    n1, n2 = pairs[0]["cores_low"], pairs[0]["cores_high"]
     t1, t2 = t_by_cores[n1], t_by_cores[n2]
     c_fit = (t1 - t2) / (1.0 / n1 - 1.0 / n2)
     d_fit = max(0.0, t1 - c_fit / n1)

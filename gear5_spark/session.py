@@ -47,6 +47,13 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # shuffle/broadcast/spill codec: the replay's heavy phases are
+        # bandwidth-bound, and zstd moves 2.3x fewer shuffle bytes than
+        # lz4 on the JSON-payload dedup shuffle for LESS total CPU
+        # (1813 -> 797 MB and 114 -> 94 CPU-sec at 4M events/8 cores,
+        # scripts/diag_codec.py) — fewer bytes through the memory
+        # hierarchy beats the compressor cost on every level measured
+        .config("spark.io.compression.codec", "zstd")
         # INT64-micros timestamps (not legacy INT96): footer min/max
         # statistics exist, enabling manifest-stats file skipping
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")

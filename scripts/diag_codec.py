@@ -1,0 +1,104 @@
+"""A/B the shuffle/spill compression codec on the bulk replay.
+
+The replay's heavy phases are bandwidth-bound on this box (SCALING.md);
+shuffle bytes are lz4-compressed by default. zstd trades CPU for bytes —
+worth it only if the byte reduction beats the compressor cost in the
+contended window. Usage:
+
+    python scripts/diag_codec.py [n_events] [cores]
+
+Prints one JSON line per codec with wall-clock, dedup-phase seconds, and
+shuffle bytes from stage metrics.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+WORK = "/dev/shm/gear5-codec"
+
+
+def run(codec: str, log_dir: str, cores: int, n_events: int) -> dict:
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
+    from gen_fixtures import generate_changelog
+    from gear5_spark import perf
+    from gear5_spark.pipeline.runner import bootstrap_table, replay_batch
+    from gear5_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"codec-{codec}",
+        master=f"local[{cores}]",
+        shuffle_partitions=64,
+        extra_conf={
+            "spark.io.compression.codec": codec,
+            "spark.local.dir": f"{WORK}/spark-tmp",
+            "spark.ui.enabled": "true",
+            "spark.ui.port": "0",
+        },
+    )
+    # warmup: fresh JVM pays JIT otherwise
+    wdir = f"{WORK}/warm-{codec}"
+    shutil.rmtree(wdir, ignore_errors=True)
+    generate_changelog(
+        f"{wdir}/log", n_events=5_000, n_convs=100, chunk_rows=5_000, seed=7
+    )
+    wt = bootstrap_table(spark, f"{wdir}/table", n_buckets=32)
+    replay_batch(spark, f"{wdir}/log", wt, checkpoint_dir=f"{wdir}/ckpt")
+    shutil.rmtree(wdir, ignore_errors=True)
+
+    work = f"{WORK}/replay-{codec}"
+    shutil.rmtree(work, ignore_errors=True)
+    table = bootstrap_table(spark, f"{work}/table", n_buckets=32)
+    perf.reset()
+    perf.track(spark, prefix=f"codec-{codec}|")
+    t0 = time.perf_counter()
+    replay_batch(spark, log_dir, table, checkpoint_dir=f"{work}/ckpt")
+    elapsed = time.perf_counter() - t0
+    sm = perf.stage_metrics(spark, prefix=f"codec-{codec}|")
+    perf.untrack()
+    phases = perf.timings()
+    shutil.rmtree(work, ignore_errors=True)
+    dd = sm.get("apply.dedup_count", {})
+    return {
+        "codec": codec,
+        "cores": cores,
+        "n_events": n_events,
+        "wall_sec": round(elapsed, 2),
+        "dedup_sec": round(phases.get("apply.dedup_count", {}).get("sec", 0), 2),
+        "dedup_cpu_sec": dd.get("cpu_sec"),
+        "shuffle_write_mb": dd.get("shuffle_write_mb"),
+        "phases": {k: round(v["sec"], 2) for k, v in phases.items()},
+    }
+
+
+def main() -> None:
+    n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
+    cores = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    from gen_fixtures import generate_changelog
+
+    log_dir = f"{WORK}/log-{n_events}"
+    if not os.path.exists(log_dir):
+        # same fixture shape as bench.py's _bench_changelog
+        generate_changelog(
+            log_dir,
+            n_events=n_events,
+            n_convs=max(200, n_events // 500),
+            chunk_rows=max(10_000, n_events // 64),
+            seed=1234,
+        )
+    for codec in ("lz4", "zstd"):
+        print(json.dumps(run(codec, log_dir, cores, n_events)), flush=True)
+
+
+if __name__ == "__main__":
+    main()
