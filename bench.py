@@ -84,7 +84,8 @@ PHASES_BY_CORES: dict[int, dict] = {}
 
 
 def _replay(spark, log_dir: str, tag: str, warmup: bool = True,
-            cores: int | None = None) -> float:
+            cores: int | None = None,
+            n_events: int | None = None) -> float:
     from gen_fixtures import generate_changelog
     from gear5_spark import perf
     from gear5_spark.pipeline.runner import bootstrap_table, replay_batch
@@ -125,7 +126,9 @@ def _replay(spark, log_dir: str, tag: str, warmup: bool = True,
             )
             PHASES_BY_CORES[cores] = {
                 "total_sec": round(elapsed, 3),
-                "bytes_per_event": round(moved_mb * 2**20 / SCALE_EVENTS, 1),
+                "bytes_per_event": round(
+                    moved_mb * 2**20 / (n_events or SCALE_EVENTS), 1
+                ),
                 "phases": perf.timings(),
                 "stage_metrics": sm,
             }
@@ -252,6 +255,7 @@ def main() -> None:
                 # the interleaved second pass
                 warmup=True,
                 cores=cores,
+                n_events=SCALE_EVENTS,
             )
             t_by_cores[cores] = min(t_by_cores.get(cores, t), t)
             ceil_samples[cores].append(_ceiling_probe(cores))

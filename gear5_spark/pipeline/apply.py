@@ -527,8 +527,20 @@ class TranscriptsApplier:
             )
             lineage = {
                 "batch_id": int(batch_id),
-                "lsn_min": int(stats["lsn_min"]),
-                "lsn_max": int(stats["lsn_max"]),
+                # a feed may carry NULL lsn on every valid-keyed row
+                # (lineage lsn columns are nullable longs; NULL-lsn
+                # ordering inside merge is defined separately) — same
+                # guard as the quarantined-only branch above
+                "lsn_min": (
+                    int(stats["lsn_min"])
+                    if stats.get("lsn_min") is not None
+                    else None
+                ),
+                "lsn_max": (
+                    int(stats["lsn_max"])
+                    if stats.get("lsn_max") is not None
+                    else None
+                ),
                 "event_count": int(stats["event_count"]),
                 "txn_ids_hash": format(stats["txn_hash"] & ((1 << 64) - 1), "x"),
                 "malformed_count": int(stats.get("malformed_count") or 0),

@@ -57,6 +57,26 @@ class Page:
 FetchFn = Callable[[dict[str, Any]], Page]
 
 
+def _parse_retry_after(value: str | None) -> float:
+    """``Retry-After`` -> seconds. RFC 7231 allows delta-seconds OR an
+    HTTP-date; real APIs and proxies emit both. Garbled/missing -> 0
+    (retry loop still counts attempts, so a lying server cannot spin
+    forever)."""
+    if not value:
+        return 0.0
+    try:
+        return max(0.0, float(value))
+    except ValueError:
+        pass
+    try:
+        from email.utils import parsedate_to_datetime
+
+        dt = parsedate_to_datetime(value)
+        return max(0.0, dt.timestamp() - time.time())
+    except (ValueError, TypeError):
+        return 0.0
+
+
 def make_http_fetch(
     url: str,
     *,
@@ -74,7 +94,8 @@ def make_http_fetch(
     module's protocol: request params go as query-string fields
     (None values omitted), a ``429`` response raises :class:`RateLimited`
     carrying the ``Retry-After`` header so ``_fetch_with_retry`` sleeps
-    exactly what the server asked (missing/garbled header -> 0), any
+    exactly what the server asked — both RFC 7231 forms are honored
+    (delta-seconds and HTTP-date; missing/garbled header -> 0), any
     other HTTP error propagates (fail-fast, same as the reference's
     non-retryable path), and every request carries a hard
     ``timeout_sec`` so a hung endpoint cannot stall the pipeline.
@@ -100,11 +121,11 @@ def make_http_fetch(
                 body = json.loads(resp.read().decode("utf-8"))
         except urllib.error.HTTPError as e:
             if e.code == 429:
-                try:
-                    after_sec = float(e.headers.get("Retry-After") or 0)
-                except ValueError:
-                    after_sec = 0.0
-                raise RateLimited(retry_after_sec=after_sec) from e
+                raise RateLimited(
+                    retry_after_sec=_parse_retry_after(
+                        e.headers.get("Retry-After")
+                    )
+                ) from e
             raise
         if isinstance(body, list):
             return Page(records=body, next_after=None)

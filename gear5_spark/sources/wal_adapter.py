@@ -97,11 +97,36 @@ def changes_from_wal2json(
     ``after_json`` is NULL and the key comes from ``oldkeys`` — matching
     the reference's delete handling where ``Data`` holds old keys for
     delete kinds.
+
+    Key-changing updates (``UPDATE ... SET turn_idx = ...``) flatten to
+    TWO feed rows — a delete of the ``oldkeys`` identity followed by the
+    upsert of the new one — because the feed's merge is keyed on
+    (conv_id, turn_idx): a single upsert under the new key would leave
+    the old row live forever. ``txn_seq`` is therefore the index of the
+    EMITTED row within the envelope (identical to the change index when
+    no change fans out), keeping (lsn, txn_seq) a dense total order the
+    applier's dedup and the merge order-guard rely on.
     """
     ts_ms = _parse_wal_ts(message.get("timestamp"))
     txn_id = int(message.get("xid") or 0)
+    conv_key, turn_key = key_columns
     rows: list[dict[str, Any]] = []
-    for seq, ch in enumerate(message.get("change") or []):
+
+    def _emit(op: str, conv: Any, turn: Any, after: str | None) -> None:
+        rows.append(
+            {
+                "lsn": int(lsn),
+                "txn_id": txn_id,
+                "txn_seq": len(rows),
+                "op": op,
+                "ts_ms": ts_ms,
+                "conv_id": str(conv),
+                "turn_idx": int(turn),
+                "after_json": after,
+            }
+        )
+
+    for ch in message.get("change") or []:
         kind = _KIND_TO_OP.get(ch.get("kind", ""))
         if kind is None:  # truncate/message kinds: not row changes
             continue
@@ -120,25 +145,30 @@ def changes_from_wal2json(
                 ensure_ascii=False,
                 sort_keys=True,
             )
-        conv_key, turn_key = key_columns
         if data.get(conv_key) is None or data.get(turn_key) is None:
             raise ValueError(
                 f"change without replica-identity key {key_columns}: "
                 f"{ch.get('kind')} on {ch.get('table')} — the slot's table "
                 "needs REPLICA IDENTITY including the key columns"
             )
-        rows.append(
-            {
-                "lsn": int(lsn),
-                "txn_id": txn_id,
-                "txn_seq": seq,
-                "op": kind,
-                "ts_ms": ts_ms,
-                "conv_id": str(data[conv_key]),
-                "turn_idx": int(data[turn_key]),
-                "after_json": after,
-            }
-        )
+        if kind == "update":
+            ok = ch.get("oldkeys") or {}
+            old = dict(
+                zip(ok.get("keynames") or [], ok.get("keyvalues") or [])
+            )
+            if (
+                old.get(conv_key) is not None
+                and old.get(turn_key) is not None
+                and (
+                    str(old[conv_key]) != str(data[conv_key])
+                    or int(old[turn_key]) != int(data[turn_key])
+                )
+            ):
+                # replica-identity key changed: retract the old row
+                # first (same lsn, lower txn_seq -> merge applies it
+                # before the upsert)
+                _emit("delete", old[conv_key], old[turn_key], None)
+        _emit(kind, data[conv_key], data[turn_key], after)
     return rows
 
 

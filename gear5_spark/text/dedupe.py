@@ -249,12 +249,21 @@ def ngram_jaccard(
     candidates: DataFrame | None = None,
     shingle_n: int = 3,
     threshold: float = 0.7,
+    max_bucket_size: int = 1000,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs (default:
     LSH candidates — never all-pairs). ``array_intersect``/``array_union``
     on shingle arrays, JVM-side."""
     if candidates is None:
-        candidates = lsh_near_duplicates(docs, shingle_n=shingle_n)
+        # mark_star so hot-bucket connectivity edges survive the
+        # jaccard confirm below (same contract as simhash/embedding
+        # near-dup paths — see _banded_pairs star-cap note)
+        candidates = lsh_near_duplicates(
+            docs,
+            shingle_n=shingle_n,
+            max_bucket_size=max_bucket_size,
+            mark_star=True,
+        )
     sh = docs.select("doc_id", shingles(F.col("text"), shingle_n).alias("sh"))
     j = (
         candidates.join(

@@ -317,3 +317,39 @@ def test_all_malformed_null_lsn_batch_still_commits(spark, tmp_path):
     assert row and row[0]["malformed_count"] == 2
     assert row[0]["lsn_min"] is None and row[0]["lsn_max"] is None
     assert table.last_committed_batch("transcripts-cdc") == 0
+
+
+def test_all_null_lsn_valid_keys_batch_commits(spark, tmp_path):
+    """The other half of the NULL-lsn space: every row has NULL lsn but
+    VALID keys, so the batch takes the normal commit path — lineage
+    construction must null-guard there too, not just in the
+    quarantined-only branch."""
+    log = str(tmp_path / "log")
+    os.makedirs(log, exist_ok=True)
+    n = 3
+    tbl = pa.table(
+        {
+            "lsn": [None] * n,
+            "txn_id": [0] * n,
+            "txn_seq": list(range(n)),
+            "op": ["insert"] * n,
+            "ts_ms": [1_700_000_000_000 + i for i in range(n)],
+            "conv_id": [f"c{i}" for i in range(n)],
+            "turn_idx": [0] * n,
+            "after_json": [
+                json.dumps({"role": "user", "text": f"t{i}"})
+                for i in range(n)
+            ],
+        },
+        schema=CHANGE_SCHEMA,
+    )
+    pq.write_table(tbl, os.path.join(log, "chunk-000000.parquet"))
+    table = bootstrap_table(spark, str(tmp_path / "t"), n_buckets=4)
+    applier = make_applier(table, str(tmp_path / "c"))
+    snap = applier(read_changelog(spark, log), 0)
+    assert snap is not None
+    got = {r.conv_id for r in table.read().select("conv_id").collect()}
+    assert got == {"c0", "c1", "c2"}
+    row = [e for e in table.lineage_df().collect() if e["batch_id"] == 0]
+    assert row[0]["lsn_min"] is None and row[0]["lsn_max"] is None
+    assert row[0]["event_count"] == n

@@ -130,6 +130,38 @@ def test_hot_bucket_cap_star_degradation(spark):
     assert stats and all(r.bucket_size == n for r in stats)
 
 
+def test_ngram_jaccard_default_path_keeps_star_edges(spark):
+    """ngram_jaccard's internally built candidates must carry star
+    marking so hot-bucket connectivity edges survive the jaccard
+    confirm — same contract the simhash/embedding paths already honor.
+    threshold > 1 is the test device: NO pair can pass on similarity, so
+    any surviving edge is provably a star connectivity edge."""
+    import sys
+
+    from gear5_spark.text.dedupe import ngram_jaccard
+
+    n = 30
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("identical text repeated for every single document here").alias(
+            "text"
+        ),
+    )
+    starred = ngram_jaccard(docs, threshold=1.1, max_bucket_size=8)
+    # bucket of 30 identical docs degraded at cap 8 -> n-1 star edges,
+    # all sub-"threshold", all kept for connectivity
+    rows = starred.collect()
+    assert len(rows) == n - 1
+    assert {r.doc_id_a for r in rows} == {0}
+    # uncapped: no degradation, no star edges, the impossible threshold
+    # filters everything — proving survival above came from star marking
+    assert (
+        ngram_jaccard(docs, threshold=1.1, max_bucket_size=sys.maxsize)
+        .count()
+        == 0
+    )
+
+
 def test_md5_mode_matches_banding_exactness(spark):
     """md5 hash family (the oracle-reproducible mode): banded candidate
     generation must still be EXACT for hamming<=3 (pigeonhole over 4x15

@@ -257,6 +257,25 @@ def test_http_fetch_honors_retry_after_header():
         srv.shutdown()
 
 
+def test_retry_after_http_date_form_parsed():
+    """RFC 7231 allows Retry-After as delta-seconds OR an HTTP-date;
+    real proxies emit the date form. It must map to a positive sleep,
+    not float()-fail to an immediate-retry burst."""
+    import time as _time
+    from email.utils import formatdate
+
+    from gear5_spark.sources.rest import _parse_retry_after
+
+    assert _parse_retry_after("7") == 7.0
+    assert _parse_retry_after(None) == 0.0
+    assert _parse_retry_after("garbled") == 0.0
+    future = formatdate(_time.time() + 30, usegmt=True)
+    got = _parse_retry_after(future)
+    assert 25.0 < got <= 31.0
+    past = formatdate(_time.time() - 30, usegmt=True)
+    assert _parse_retry_after(past) == 0.0  # clamped, never negative
+
+
 def test_http_fetch_non_retryable_error_propagates():
     import urllib.error
 

@@ -60,6 +60,64 @@ def test_wal2json_flatten_order_and_payload():
         changes_from_wal2json(1, _tx(1, [_ins("c", 0)], ts="2026-01-01 12:00:00"))
 
 
+def test_key_changing_update_retracts_old_identity():
+    """UPDATE that changes a replica-identity key column must flatten to
+    delete(oldkeys) + upsert(new) — a single upsert under the new key
+    would leave the old row live forever. txn_seq stays dense over the
+    EMITTED rows so (lsn, txn_seq) keeps its total order."""
+    upd = {
+        "kind": "update",
+        "columnnames": ["conv_id", "turn_idx", "role", "text"],
+        "columnvalues": ["c1", 5, "user", "moved"],
+        "oldkeys": {
+            "keynames": ["conv_id", "turn_idx"],
+            "keyvalues": ["c1", 3],
+        },
+    }
+    rows = changes_from_wal2json(900, _tx(7, [_ins("c9", 0), upd]))
+    assert [
+        (r["txn_seq"], r["op"], r["conv_id"], r["turn_idx"]) for r in rows
+    ] == [
+        (0, "insert", "c9", 0),
+        (1, "delete", "c1", 3),  # retraction first (lower seq)
+        (2, "update", "c1", 5),
+    ]
+    assert rows[1]["after_json"] is None
+    # key-preserving update (oldkeys present, same key): single row
+    same = dict(upd, oldkeys={
+        "keynames": ["conv_id", "turn_idx"], "keyvalues": ["c1", 5],
+    })
+    rows = changes_from_wal2json(901, _tx(8, [same]))
+    assert [(r["txn_seq"], r["op"]) for r in rows] == [(0, "update")]
+
+
+def test_key_changing_update_applies_end_to_end(spark, tmp_path):
+    from gear5_spark.pipeline.runner import bootstrap_table, make_applier
+
+    log = str(tmp_path / "wal")
+    w = WalFeedWriter(log)
+    w.on_message(1, _tx(1, [_ins("c1", 3, text="v1")]))
+    w.on_message(2, _tx(2, [{
+        "kind": "update",
+        "columnnames": ["conv_id", "turn_idx", "role", "text"],
+        "columnvalues": ["c1", 5, "user", "v2"],
+        "oldkeys": {
+            "keynames": ["conv_id", "turn_idx"],
+            "keyvalues": ["c1", 3],
+        },
+    }]))
+    w.flush()
+    table = bootstrap_table(spark, str(tmp_path / "t"), n_buckets=4)
+    applier = make_applier(table, str(tmp_path / "ckpt"))
+    applier(read_changelog(spark, log), 0)
+    rows = {
+        (r.conv_id, r.turn_idx): r.text
+        for r in table.read().select("conv_id", "turn_idx", "text").collect()
+    }
+    # the old identity (c1,3) is gone, not duplicated
+    assert rows == {("c1", 5): "v2"}
+
+
 def test_missing_replica_identity_key_rejected():
     bad = {
         "kind": "insert",
