@@ -32,18 +32,40 @@ SCALE_EVENTS = int(os.environ.get("SPARK_GRAFT_SCALE_EVENTS", str(N_EVENTS)))
 SEED = 42
 
 
-def _bench_changelog(n_events: int | None = None) -> str:
-    """Seeded bench change log, cached across runs (same seed+size)."""
+def make_bench_changelog(d: str, n_events: int, seed: int = SEED) -> None:
+    """The canonical bench fixture shape — shared with scripts/diag_codec
+    so diagnostics measure the SAME pipeline the bench scores."""
     from gen_fixtures import generate_changelog
 
+    generate_changelog(
+        d, n_events=n_events, n_convs=max(200, n_events // 500),
+        chunk_rows=max(10_000, n_events // 64), seed=seed,
+    )
+
+
+def warmup_replay(spark, work_dir: str) -> None:
+    """JVM/codegen warmup on a small log so the first timed run in a
+    fresh session isn't penalized — one recipe for bench AND diag
+    scripts (same 5k-event fixture, same bootstrap shape)."""
+    from gen_fixtures import generate_changelog
+    from gear5_spark.pipeline.runner import bootstrap_table, replay_batch
+
+    shutil.rmtree(work_dir, ignore_errors=True)
+    generate_changelog(f"{work_dir}/log", n_events=5_000, n_convs=100,
+                       chunk_rows=5_000, seed=7)
+    wt = bootstrap_table(spark, f"{work_dir}/table", n_buckets=32)
+    replay_batch(spark, f"{work_dir}/log", wt,
+                 checkpoint_dir=f"{work_dir}/ckpt")
+    shutil.rmtree(work_dir, ignore_errors=True)
+
+
+def _bench_changelog(n_events: int | None = None) -> str:
+    """Seeded bench change log, cached across runs (same seed+size)."""
     n = N_EVENTS if n_events is None else n_events
     d = f"/tmp/gear5-bench-log-{n}-{SEED}-c64"
     if not os.path.exists(os.path.join(d, "_manifest.json")):
         shutil.rmtree(d, ignore_errors=True)
-        generate_changelog(
-            d, n_events=n, n_convs=max(200, n // 500),
-            chunk_rows=max(10_000, n // 64), seed=SEED,
-        )  # cached across rounds: same seed+size -> same bytes
+        make_bench_changelog(d, n)  # cached: same seed+size -> same bytes
     return d
 
 
@@ -86,20 +108,14 @@ PHASES_BY_CORES: dict[int, dict] = {}
 def _replay(spark, log_dir: str, tag: str, warmup: bool = True,
             cores: int | None = None,
             n_events: int | None = None) -> float:
-    from gen_fixtures import generate_changelog
     from gear5_spark import perf
     from gear5_spark.pipeline.runner import bootstrap_table, replay_batch
 
     work = f"{BENCH_WORK_ROOT}/replay-{tag}"
     shutil.rmtree(work, ignore_errors=True)
     if warmup:
-        # JVM/codegen warmup on a small log so the first timed session
-        # isn't penalized (keeps the N vs 4N comparison honest)
-        wdir = f"{work}/warm"
-        generate_changelog(f"{wdir}/log", n_events=5_000, n_convs=100,
-                           chunk_rows=5_000, seed=7)
-        wt = bootstrap_table(spark, f"{wdir}/table", n_buckets=32)
-        replay_batch(spark, f"{wdir}/log", wt, checkpoint_dir=f"{wdir}/ckpt")
+        # keeps the N vs 4N comparison honest (fresh-JVM JIT)
+        warmup_replay(spark, f"{work}/warm")
     table = bootstrap_table(spark, f"{work}/table", n_buckets=32)
     perf.reset()
     perf.track(spark, prefix=f"{tag}|")

@@ -1,14 +1,16 @@
 """A/B the shuffle/spill compression codec on the bulk replay.
 
 The replay's heavy phases are bandwidth-bound on this box (SCALING.md);
-shuffle bytes are lz4-compressed by default. zstd trades CPU for bytes —
-worth it only if the byte reduction beats the compressor cost in the
-contended window. Usage:
+shuffle bytes are zstd-compressed by default since round 4 (lz4 before).
+zstd trades CPU for bytes — worth it only if the byte reduction beats
+the compressor cost in the contended window. Usage:
 
     python scripts/diag_codec.py [n_events] [cores]
 
 Prints one JSON line per codec with wall-clock, dedup-phase seconds, and
-shuffle bytes from stage metrics.
+shuffle bytes from stage metrics. Fixture shape and warmup recipe are
+imported from bench.py so this measures the SAME pipeline the bench
+scores — they cannot drift apart.
 """
 
 from __future__ import annotations
@@ -30,7 +32,7 @@ def run(codec: str, log_dir: str, cores: int, n_events: int) -> dict:
     active = SparkSession.getActiveSession()
     if active is not None:
         active.stop()
-    from gen_fixtures import generate_changelog
+    from bench import warmup_replay
     from gear5_spark import perf
     from gear5_spark.pipeline.runner import bootstrap_table, replay_batch
     from gear5_spark.session import get_spark
@@ -46,15 +48,7 @@ def run(codec: str, log_dir: str, cores: int, n_events: int) -> dict:
             "spark.ui.port": "0",
         },
     )
-    # warmup: fresh JVM pays JIT otherwise
-    wdir = f"{WORK}/warm-{codec}"
-    shutil.rmtree(wdir, ignore_errors=True)
-    generate_changelog(
-        f"{wdir}/log", n_events=5_000, n_convs=100, chunk_rows=5_000, seed=7
-    )
-    wt = bootstrap_table(spark, f"{wdir}/table", n_buckets=32)
-    replay_batch(spark, f"{wdir}/log", wt, checkpoint_dir=f"{wdir}/ckpt")
-    shutil.rmtree(wdir, ignore_errors=True)
+    warmup_replay(spark, f"{WORK}/warm-{codec}")
 
     work = f"{WORK}/replay-{codec}"
     shutil.rmtree(work, ignore_errors=True)
@@ -84,18 +78,11 @@ def run(codec: str, log_dir: str, cores: int, n_events: int) -> dict:
 def main() -> None:
     n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
     cores = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    from gen_fixtures import generate_changelog
+    from bench import make_bench_changelog
 
     log_dir = f"{WORK}/log-{n_events}"
     if not os.path.exists(log_dir):
-        # same fixture shape as bench.py's _bench_changelog
-        generate_changelog(
-            log_dir,
-            n_events=n_events,
-            n_convs=max(200, n_events // 500),
-            chunk_rows=max(10_000, n_events // 64),
-            seed=1234,
-        )
+        make_bench_changelog(log_dir, n_events, seed=1234)
     for codec in ("lz4", "zstd"):
         print(json.dumps(run(codec, log_dir, cores, n_events)), flush=True)
 
