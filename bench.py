@@ -107,51 +107,73 @@ PHASES_BY_CORES: dict[int, dict] = {}
 
 def _replay(spark, log_dir: str, tag: str, warmup: bool = True,
             cores: int | None = None,
-            n_events: int | None = None) -> float:
+            n_events: int | None = None, runs: int = 1) -> float:
+    """Time the bulk replay; with ``runs>1``, repeat WITHIN this session
+    and score the best (steady state).
+
+    Why repeats matter more than the small warmup: the first full-scale
+    replay in a session pays tiered-JIT compilation of the hot codegen
+    loops at data scale (plus cold page cache on the first-ever read of
+    the fixture) — measured 24.5 s vs 6.3 s steady at local[32]
+    (scripts/diag_replay_once.py), a 3.9x first-run penalty that a
+    5k-event warmup does not amortize AND that does not carry across a
+    session restart (tested: a second session in the same JVM re-pays
+    most of it). Steady-state is the honest basis for the N vs 4N
+    scaling rule: on a real long-running ingest cluster the JIT-cold
+    first batch is a one-off, while every interesting batch runs warm.
+    All run times are recorded per level (``runs_sec``) so the
+    cold-vs-warm gap stays visible to the driver."""
     from gear5_spark import perf
     from gear5_spark.pipeline.runner import bootstrap_table, replay_batch
 
     work = f"{BENCH_WORK_ROOT}/replay-{tag}"
-    shutil.rmtree(work, ignore_errors=True)
     if warmup:
-        # keeps the N vs 4N comparison honest (fresh-JVM JIT)
+        shutil.rmtree(work, ignore_errors=True)
         warmup_replay(spark, f"{work}/warm")
-    table = bootstrap_table(spark, f"{work}/table", n_buckets=32)
-    perf.reset()
-    perf.track(spark, prefix=f"{tag}|")
-    t0 = time.perf_counter()
-    replay_batch(spark, log_dir, table, checkpoint_dir=f"{work}/ckpt")
-    elapsed = time.perf_counter() - t0
-    if cores is not None:
-        # per-phase attribution for the scaling pairs: wall-clock spans
-        # (engine-fixed vs job time, VERDICT r1 #3) plus Spark stage
-        # metrics per phase (task/CPU/GC time, shuffle, spill, skew —
-        # VERDICT r2 #2's evidence layer)
-        prev = PHASES_BY_CORES.get(cores)
-        if prev is None or elapsed < prev["total_sec"]:
-            sm = perf.stage_metrics(spark, prefix=f"{tag}|")
-            # total data movement (scan input + shuffle both directions)
-            # per event — the lever the 8->32 inversion on this
-            # bandwidth-collapsing box responds to (VERDICT r3 #3); the
-            # driver can watch this number shrink across rounds
-            moved_mb = sum(
-                m.get("input_mb", 0.0)
-                + m.get("shuffle_read_mb", 0.0)
-                + m.get("shuffle_write_mb", 0.0)
-                for m in sm.values()
-            )
-            PHASES_BY_CORES[cores] = {
-                "total_sec": round(elapsed, 3),
-                "bytes_per_event": round(
-                    moved_mb * 2**20 / (n_events or SCALE_EVENTS), 1
-                ),
-                "phases": perf.timings(),
-                "stage_metrics": sm,
-            }
-    perf.untrack()
-    assert table.read().count() > 0
+    best = None
+    for run in range(max(1, runs)):
+        shutil.rmtree(work, ignore_errors=True)
+        table = bootstrap_table(spark, f"{work}/table", n_buckets=32)
+        perf.reset()
+        # per-run prefix: stage metrics are collected via the UI REST API
+        # by job-group prefix, so runs sharing a prefix would double-
+        # count bytes/CPU in the best-run record
+        perf.track(spark, prefix=f"{tag}-run{run}|")
+        t0 = time.perf_counter()
+        replay_batch(spark, log_dir, table, checkpoint_dir=f"{work}/ckpt")
+        elapsed = time.perf_counter() - t0
+        if cores is not None:
+            rec = PHASES_BY_CORES.setdefault(cores, {})
+            rec.setdefault("runs_sec", []).append(round(elapsed, 3))
+            # per-phase attribution for the scaling pairs: wall-clock
+            # spans (engine-fixed vs job time, VERDICT r1 #3) plus Spark
+            # stage metrics per phase (task/CPU/GC time, shuffle, spill,
+            # skew — VERDICT r2 #2's evidence layer)
+            if "total_sec" not in rec or elapsed < rec["total_sec"]:
+                sm = perf.stage_metrics(spark, prefix=f"{tag}-run{run}|")
+                # total data movement (scan input + shuffle both
+                # directions) per event — the lever the 8->32 inversion
+                # on this bandwidth-collapsing box responds to (VERDICT
+                # r3 #3); the driver can watch this number shrink
+                moved_mb = sum(
+                    m.get("input_mb", 0.0)
+                    + m.get("shuffle_read_mb", 0.0)
+                    + m.get("shuffle_write_mb", 0.0)
+                    for m in sm.values()
+                )
+                rec.update(
+                    total_sec=round(elapsed, 3),
+                    bytes_per_event=round(
+                        moved_mb * 2**20 / (n_events or SCALE_EVENTS), 1
+                    ),
+                    phases=perf.timings(),
+                    stage_metrics=sm,
+                )
+        perf.untrack()
+        assert table.read().count() > 0
+        best = elapsed if best is None else min(best, elapsed)
     shutil.rmtree(work, ignore_errors=True)  # tmpfs: release memory
-    return elapsed
+    return best
 
 
 def _stream_replay(spark, log_dir: str, sink_mode: str = "cow") -> float:
@@ -264,14 +286,15 @@ def main() -> None:
             spark = _fresh_spark(cores)
             t = _replay(
                 spark, scale_log, f"scale{cores}-r{rep}",
-                # every visit is a FRESH JVM (sessions don't survive the
-                # core-level switch), so every visit warms up — an
-                # unwarmed rep-1 pays JIT/codegen inside its timed run
-                # and the min() just discards it, halving the value of
-                # the interleaved second pass
+                # every visit is a fresh session (JIT warmth does not
+                # survive the core-level switch — measured, see _replay
+                # docstring), so every visit warms up and times TWO
+                # full-scale runs: run 1 absorbs tiered-JIT compilation
+                # of the hot loops at data scale, run 2 is steady state
                 warmup=True,
                 cores=cores,
                 n_events=SCALE_EVENTS,
+                runs=2,
             )
             t_by_cores[cores] = min(t_by_cores.get(cores, t), t)
             ceil_samples[cores].append(_ceiling_probe(cores))

@@ -57,6 +57,25 @@ RESERVED_COLS = {
 _SAMPLE_PER_KEY = 100  # reference samples 100 records (protocol/discover.go:46)
 
 
+def _payload_keys(col: str):
+    """Top-level JSON key array of a payload column.
+
+    ``json_object_keys`` parses through Spark's shared static Jackson
+    factory (``expressions/json/SharedFactory``) — a plausible
+    cross-thread contention point at high per-JVM parallelism, so it was
+    A/B'd against the per-task-factory alternative
+    ``map_keys(from_json(col, "map<string,string>"))`` at 4M docs
+    (scripts/diag_jsonkeys.py): json_object_keys wins at BOTH 8 and 32
+    cores (25.1 vs 33.5 task-s at 8; 40.1 vs 43.7 at 32) because the
+    map parse materializes value strings the caller discards, and its
+    32-core task-time inflation (1.6x) matches the box's memory-
+    bandwidth ceiling, not lock spin — Jackson's canonicalizer read
+    path is lock-free; only the brief child-merge on close syncs.
+    Keys-only parsing is therefore the right call at any executor
+    width; re-run the A/B if a profile ever shows this stage hot."""
+    return F.json_object_keys(col)
+
+
 def _registry_specs(registry: dict[str, dict]) -> list[PayloadField]:
     return [
         PayloadField(col=name, token=f["type"], source=f["source"])
@@ -183,7 +202,8 @@ class TranscriptsApplier:
         payload keys).
 
         The discovery job tokenizes each payload's top-level KEYS once
-        (``json_object_keys`` — no value copies), explodes, drops known
+        (:func:`_payload_keys` — no value copies; factory-contention
+        A/B'd, see its docstring), explodes, drops known
         source keys, counts per key — full codegen, map-side combined,
         shuffles only (key, partial count). The batch ROW count rides the
         same scan as a bare ``count(1)`` Observation: unlike round 2's
@@ -211,7 +231,7 @@ class TranscriptsApplier:
             r["k"]: r["c"]
             for r in sample_src.observe(obs, F.count(F.lit(1)).alias("n"))
             .select(
-                F.explode_outer(F.json_object_keys("after_json")).alias("k")
+                F.explode_outer(_payload_keys("after_json")).alias("k")
             )
             .filter(F.col("k").isNotNull() & _not_known(F.col("k")))
             .groupBy("k")
@@ -258,7 +278,7 @@ class TranscriptsApplier:
         sampled = (
             sample_src.select(
                 "after_json",
-                F.explode(F.json_object_keys("after_json")).alias("k"),
+                F.explode(_payload_keys("after_json")).alias("k"),
             )
             .filter(F.col("k").isin(*counts.keys()))
             .filter(
