@@ -176,25 +176,35 @@ def _replay(spark, log_dir: str, tag: str, warmup: bool = True,
     return best
 
 
-def _stream_replay(spark, log_dir: str, sink_mode: str = "cow") -> float:
+def _stream_replay(spark, log_dir: str, sink_mode: str = "cow",
+                   runs: int = 2) -> float:
+    """Streaming replay wall-clock, best of ``runs`` within the session —
+    same steady-state protocol as _replay: the first pass through a
+    sink's codegen paths (merge_delta vs merge_into differ) pays JIT
+    that a long-running stream never sees again."""
     from gear5_spark.pipeline.runner import (
         bootstrap_table,
         make_applier,
         run_stream,
     )
 
-    work = f"{BENCH_WORK_ROOT}/stream-{sink_mode}"
-    shutil.rmtree(work, ignore_errors=True)
-    table = bootstrap_table(spark, f"{work}/table", n_buckets=32)
-    applier = make_applier(
-        table, f"{work}/ckpt", sink_mode=sink_mode, compact_every=8
-    )
-    t0 = time.perf_counter()
-    run_stream(
-        spark, log_dir, table, checkpoint_dir=f"{work}/ckpt",
-        max_files_per_trigger=16, applier=applier, timeout_sec=3600,
-    )
-    return time.perf_counter() - t0
+    best = None
+    for _ in range(max(1, runs)):
+        work = f"{BENCH_WORK_ROOT}/stream-{sink_mode}"
+        shutil.rmtree(work, ignore_errors=True)
+        table = bootstrap_table(spark, f"{work}/table", n_buckets=32)
+        applier = make_applier(
+            table, f"{work}/ckpt", sink_mode=sink_mode, compact_every=8
+        )
+        t0 = time.perf_counter()
+        run_stream(
+            spark, log_dir, table, checkpoint_dir=f"{work}/ckpt",
+            max_files_per_trigger=16, applier=applier, timeout_sec=3600,
+        )
+        elapsed = time.perf_counter() - t0
+        best = elapsed if best is None else min(best, elapsed)
+        shutil.rmtree(work, ignore_errors=True)
+    return best
 
 
 def _ceiling_probe(n: int, iters: int = 2_000_000) -> float:
