@@ -166,6 +166,7 @@ def cmd_discover(args) -> int:
 
 
 def cmd_read(args) -> int:
+    import shutil
     import time
 
     from gear5_spark.config import PipelineConfig
@@ -205,7 +206,6 @@ def cmd_read(args) -> int:
     if getattr(args, "warmup", False):
         # tiny throwaway replay so JVM/codegen warmup stays out of the
         # timed run (same honesty rule as bench.py's scaling pairs)
-        import shutil
         import tempfile
 
         try:
@@ -249,18 +249,29 @@ def cmd_read(args) -> int:
         # table dirs (no rollup — it is stateful); the LAST run builds
         # the real table, so STATE describes genuine output.
         repeats = max(1, getattr(args, "repeats", 1) or 1)
-        import shutil as _sh
-
         for i in range(repeats):
             last = i == repeats - 1
             tdir = cfg.table_dir if last else f"{cfg.table_dir}.jit{i}"
             ckpt = (
                 cfg.checkpoint_dir if last else f"{cfg.checkpoint_dir}.jit{i}"
             )
+            if not last:
+                # a crashed prior invocation may have left a populated
+                # throwaway table; reusing it (bootstrap is
+                # if-not-exists) would time a merge-against-existing-rows
+                # workload instead of the cold/warm pair this records
+                shutil.rmtree(tdir, ignore_errors=True)
+                shutil.rmtree(ckpt, ignore_errors=True)
             tbl = table if last else bootstrap_table(
                 spark, tdir, n_buckets=cfg.n_buckets,
                 delete_mode=cfg.delete_mode,
             )
+            if last and os.environ.get("SPARK_GRAFT_PHASES"):
+                from gear5_spark import perf
+
+                # phases must describe the run elapsed_sec times — the
+                # JIT-cold repeats would otherwise inflate them
+                perf.reset()
             r0 = time.perf_counter()
             replay_batch(
                 spark, cfg.changelog_dir, tbl, ckpt,
@@ -276,11 +287,17 @@ def cmd_read(args) -> int:
             )
             runs_sec.append(round(time.perf_counter() - r0, 3))
             if not last:
-                _sh.rmtree(tdir, ignore_errors=True)
-                _sh.rmtree(ckpt, ignore_errors=True)
+                shutil.rmtree(tdir, ignore_errors=True)
+                shutil.rmtree(ckpt, ignore_errors=True)
             else:
                 t0 = r0  # elapsed_sec times the FINAL (steady) run
     else:
+        if (getattr(args, "repeats", 1) or 1) > 1:
+            print(json.dumps({
+                "type": "LOG", "level": "WARN",
+                "message": "--repeats applies to bulk mode only; "
+                           "streaming runs once",
+            }))
         applier = make_applier(
             table, cfg.checkpoint_dir, app_id=cfg.app_id,
             delete_mode=cfg.delete_mode, normalize_mode=cfg.normalize_mode,

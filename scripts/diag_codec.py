@@ -50,29 +50,42 @@ def run(codec: str, log_dir: str, cores: int, n_events: int) -> dict:
     )
     warmup_replay(spark, f"{WORK}/warm-{codec}")
 
-    work = f"{WORK}/replay-{codec}"
-    shutil.rmtree(work, ignore_errors=True)
-    table = bootstrap_table(spark, f"{work}/table", n_buckets=32)
-    perf.reset()
-    perf.track(spark, prefix=f"codec-{codec}|")
-    t0 = time.perf_counter()
-    replay_batch(spark, log_dir, table, checkpoint_dir=f"{work}/ckpt")
-    elapsed = time.perf_counter() - t0
-    sm = perf.stage_metrics(spark, prefix=f"codec-{codec}|")
-    perf.untrack()
-    phases = perf.timings()
-    shutil.rmtree(work, ignore_errors=True)
-    dd = sm.get("apply.dedup_count", {})
-    return {
-        "codec": codec,
-        "cores": cores,
-        "n_events": n_events,
-        "wall_sec": round(elapsed, 2),
-        "dedup_sec": round(phases.get("apply.dedup_count", {}).get("sec", 0), 2),
-        "dedup_cpu_sec": dd.get("cpu_sec"),
-        "shuffle_write_mb": dd.get("shuffle_write_mb"),
-        "phases": {k: round(v["sec"], 2) for k, v in phases.items()},
-    }
+    # steady-state protocol (SCALING.md "First-run JIT"): the first
+    # full-scale run in a session pays tiered-JIT compilation the small
+    # warmup cannot amortize — time TWO runs, score the best, report
+    # both so the codec comparison never embeds first-run JIT CPU
+    best = None
+    runs_sec = []
+    for run_idx in range(2):
+        work = f"{WORK}/replay-{codec}"
+        shutil.rmtree(work, ignore_errors=True)
+        table = bootstrap_table(spark, f"{work}/table", n_buckets=32)
+        perf.reset()
+        perf.track(spark, prefix=f"codec-{codec}-r{run_idx}|")
+        t0 = time.perf_counter()
+        replay_batch(spark, log_dir, table, checkpoint_dir=f"{work}/ckpt")
+        elapsed = time.perf_counter() - t0
+        sm = perf.stage_metrics(spark, prefix=f"codec-{codec}-r{run_idx}|")
+        perf.untrack()
+        phases = perf.timings()
+        shutil.rmtree(work, ignore_errors=True)
+        runs_sec.append(round(elapsed, 2))
+        if best is None or elapsed < best["wall_sec"]:
+            dd = sm.get("apply.dedup_count", {})
+            best = {
+                "codec": codec,
+                "cores": cores,
+                "n_events": n_events,
+                "wall_sec": round(elapsed, 2),
+                "dedup_sec": round(
+                    phases.get("apply.dedup_count", {}).get("sec", 0), 2
+                ),
+                "dedup_cpu_sec": dd.get("cpu_sec"),
+                "shuffle_write_mb": dd.get("shuffle_write_mb"),
+                "phases": {k: round(v["sec"], 2) for k, v in phases.items()},
+            }
+    best["runs_sec"] = runs_sec
+    return best
 
 
 def main() -> None:
