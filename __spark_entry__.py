@@ -335,10 +335,12 @@ def _q_embedding_near_dup(spark, sf_dir):
     # red-flag a documented divergence instead of a real defect.
     import sys as _sys
 
+    # star is all-false at uncapped bucket size (no bucket ever
+    # degrades) — dropped so the oracle schema stays (ids, cosine)
     return embedding_near_duplicates(
         _t(spark, sf_dir, "embeddings"), threshold=0.45,
         n_planes=2, n_tables=16, max_bucket_size=_sys.maxsize,
-    )
+    ).drop("star")
 
 
 def _q_column_profile(spark, sf_dir):
@@ -429,10 +431,11 @@ def _q_simhash_pairs(spark, sf_dir):
 
     from gear5_spark.text.dedupe import simhash_near_duplicates
 
+    # star is all-false uncapped — dropped to keep the oracle schema
     return simhash_near_duplicates(
         _t(spark, sf_dir, "documents"), hasher="md5",
         max_bucket_size=_sys.maxsize,
-    )
+    ).drop("star")
 
 
 def _q_lsh_cosine_topk(spark, sf_dir):

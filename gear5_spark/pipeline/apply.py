@@ -116,14 +116,41 @@ class TranscriptsApplier:
     # metadata reads only, never an extra Spark job over the batch
     partition_lineage: bool = True
     exclude_columns: list[str] = field(default_factory=list)  # P2
+    # physical plan for the per-batch dedup (regime tradeoff):
+    #   "fused"   — one shuffle of the raw payload keyed by the table's
+    #               placement slot; the groupBy then runs exchange-free
+    #               inside it and the write skips ITS repartition.
+    #               Cheapest when duplication per key is low: total
+    #               shuffle ≈ |events| once instead of twice.
+    #   "partial" — classic map-side-combined max_by: Catalyst partial-
+    #               aggregates BEFORE the shuffle, so a high-update feed
+    #               (many events per key inside each input split)
+    #               shuffles only pre-reduced rows, and the write then
+    #               repartitions the (already small) winner set.
+    #               Cheapest when duplication is high — the fused plan
+    #               would move every losing event's full payload across
+    #               the exchange unreduced.
+    #   "auto"    — fused for the first batch, then per batch by the
+    #               PREVIOUS batch's measured events-per-key ratio
+    #               (> partial_plan_dup_ratio → partial; steady feeds
+    #               have sticky ratios). Both plans are result-identical
+    #               (tested), so switching between batches is safe.
+    dedup_plan: str = "auto"
+    partial_plan_dup_ratio: float = 3.0
     # optional incrementally-maintained derived table
     # (gear5_spark.pipeline.rollup.ConversationRollup); refreshed with
     # the batch's touched conversations after every base commit
     rollup: Any = None
     applied: list[MergeStats] = field(default_factory=list)
     skipped_batches: list[int] = field(default_factory=list)
+    # events-per-key measured in the previous batch (drives "auto")
+    _last_dup_ratio: float | None = field(default=None, repr=False)
 
     def __post_init__(self) -> None:
+        if self.dedup_plan not in ("auto", "fused", "partial"):
+            raise ValueError(
+                f"dedup_plan must be auto|fused|partial, got {self.dedup_plan!r}"
+            )
         if self.sink_mode == "mor" and self.delete_mode == "soft":
             # MoR deletes survive as tombstones only when the TABLE was
             # created soft (reconstruct/compact read the property); a
@@ -417,7 +444,16 @@ class TranscriptsApplier:
         # dedup (pathological per-key skew) keeps the classic two-
         # shuffle plan — salting is incompatible with co-location.
         pre_placed: int | None = None
-        if self.salt_buckets == 1:
+        if self.dedup_plan == "fused":
+            use_fused = True
+        elif self.dedup_plan == "partial":
+            use_fused = False
+        else:  # auto: previous batch's measured duplication decides
+            use_fused = (
+                self._last_dup_ratio is None
+                or self._last_dup_ratio <= self.partial_plan_dup_ratio
+            )
+        if self.salt_buckets == 1 and use_fused:
             from gear5_spark.lake.table import BUCKET_COL
 
             # slots_per_bucket lifts dedup/parse parallelism above the
@@ -448,6 +484,9 @@ class TranscriptsApplier:
             )
             pre_placed = n_b
         else:
+            # partial (map-side-combined) or salted plan: the dedup
+            # shuffle carries pre-reduced rows; the write repartitions
+            # the winner set by placement slot (pre_placed stays None)
             deduped_raw = latest_per_key(
                 valid, KEY_COLS, salt_buckets=self.salt_buckets
             ).persist()
@@ -465,6 +504,11 @@ class TranscriptsApplier:
                 )
             try:
                 stats = obs.get
+                if not stats or "event_count" not in stats:
+                    # some elimination paths fill the Observation with
+                    # an EMPTY dict rather than raising — subscripts
+                    # would then crash outside this guard
+                    raise KeyError("observation returned no metrics")
             except Exception:
                 # AQE empty-relation propagation can re-plan the
                 # CollectMetrics node away when the valid side collapses
@@ -523,6 +567,14 @@ class TranscriptsApplier:
                         basis=cur,
                     )
                 return None
+
+            # feed duplication measured from THIS batch steers the NEXT
+            # batch's dedup plan under dedup_plan="auto" (ratios are
+            # sticky on steady feeds; both plans are result-identical)
+            valid_events = int(stats["event_count"]) - int(
+                stats.get("malformed_count") or 0
+            )
+            self._last_dup_ratio = valid_events / n_keys
 
             # discovery AFTER dedup is safe: dedup is payload-agnostic, so
             # newly observed keys just extend the schema the (already

@@ -131,6 +131,7 @@ def replay_batch(
     exclude_columns: list[str] | None = None,
     rollup=None,
     partition_lineage: bool = True,
+    dedup_plan: str = "auto",
 ) -> LakeTable:
     """Bulk replay: whole (or cursor-bounded) change log in one merge.
 
@@ -162,6 +163,7 @@ def replay_batch(
         exclude_columns=exclude_columns or [],
         rollup=rollup,
         partition_lineage=partition_lineage,
+        dedup_plan=dedup_plan,
     )
     changes = read_changelog(spark, changelog_dir, min_lsn=min_lsn, max_lsn=max_lsn)
     last = table.last_committed_batch(app_id)

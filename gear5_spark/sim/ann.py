@@ -188,8 +188,12 @@ def embedding_near_duplicates(
     mutually-similar members of an over-budget bucket, so they pass
     through the confirm un-filtered — exactly like ``ngram_jaccard``
     handles marked candidates — with the measured cosine still
-    reported. Consumers doing component-based dedup lose nothing;
-    consumers needing per-pair similarity claims read ``cosine``."""
+    reported AND the ``star`` marker kept in the output. Component-based
+    dedup consumers use all edges and lose nothing; consumers needing
+    per-pair similarity claims filter ``~star`` (every non-star row is a
+    confirmed cosine>=threshold pair). Without the marker a degraded
+    bucket would silently mix sub-threshold connectivity edges into the
+    similarity claims."""
     from gear5_spark.text.dedupe import _banded_pairs
 
     banded = _table_buckets(
@@ -219,6 +223,7 @@ def embedding_near_duplicates(
             F.col("doc_id_a").alias("vec_id_a"),
             F.col("doc_id_b").alias("vec_id_b"),
             F.round("cosine", 6).alias("cosine"),
+            "star",
         )
     )
 

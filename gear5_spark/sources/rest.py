@@ -57,22 +57,31 @@ class Page:
 FetchFn = Callable[[dict[str, Any]], Page]
 
 
+# hard upper bound on a single Retry-After sleep: attempt counting bounds
+# the NUMBER of retries but not their DURATION — a lying/buggy server
+# ("Retry-After: 9999999999", or an HTTP-date years out) would otherwise
+# park the worker for centuries on a single sleep. Real rate-limit windows
+# are seconds; anything past this cap is treated as the cap.
+RETRY_AFTER_CAP_SEC = 300.0
+
+
 def _parse_retry_after(value: str | None) -> float:
-    """``Retry-After`` -> seconds. RFC 7231 allows delta-seconds OR an
-    HTTP-date; real APIs and proxies emit both. Garbled/missing -> 0
-    (retry loop still counts attempts, so a lying server cannot spin
-    forever)."""
+    """``Retry-After`` -> seconds, clamped to ``RETRY_AFTER_CAP_SEC``.
+    RFC 7231 allows delta-seconds OR an HTTP-date; real APIs and proxies
+    emit both. Garbled/missing -> 0 (retry loop still counts attempts,
+    so a lying server cannot spin forever — and the cap bounds each
+    individual sleep, so it cannot stall forever either)."""
     if not value:
         return 0.0
     try:
-        return max(0.0, float(value))
+        return min(RETRY_AFTER_CAP_SEC, max(0.0, float(value)))
     except ValueError:
         pass
     try:
         from email.utils import parsedate_to_datetime
 
         dt = parsedate_to_datetime(value)
-        return max(0.0, dt.timestamp() - time.time())
+        return min(RETRY_AFTER_CAP_SEC, max(0.0, dt.timestamp() - time.time()))
     except (ValueError, TypeError):
         return 0.0
 
@@ -129,6 +138,15 @@ def make_http_fetch(
             raise
         if isinstance(body, list):
             return Page(records=body, next_after=None)
+        if not isinstance(body, dict):
+            # a scalar/null JSON body (misconfigured URL, error page
+            # serialized as a bare string) would otherwise surface as
+            # AttributeError deep in the paging walk — fail with the
+            # actual diagnosis instead
+            raise ValueError(
+                f"endpoint {url} returned a JSON {type(body).__name__} "
+                "body; expected an object or array"
+            )
         node: Any = body
         for k in next_after_path:
             node = node.get(k) if isinstance(node, dict) else None
@@ -167,7 +185,9 @@ def _fetch_with_retry(
             stream.stats["retries"] += 1
             if attempts >= stream.max_retries:
                 raise
-            sleep(e.retry_after_sec)
+            # clamp again here: a custom FetchFn can raise RateLimited
+            # with any value, bypassing _parse_retry_after's cap
+            sleep(min(max(0.0, e.retry_after_sec), RETRY_AFTER_CAP_SEC))
 
 
 def fetch_records(

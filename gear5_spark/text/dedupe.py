@@ -510,9 +510,12 @@ def simhash_near_duplicates(
     pass through the hamming confirm UN-filtered (they are connectivity
     edges, not similarity claims — dropping a star-centre edge whose
     hamming exceeds 3 would disconnect mutually-similar members of the
-    degraded bucket; see ``_banded_pairs``). The ``hamming`` column
-    still reports the measured distance, so per-pair consumers can
-    re-filter while component-dedup consumers lose nothing."""
+    degraded bucket; see ``_banded_pairs``). The output carries the
+    ``star`` marker alongside the measured ``hamming``: per-pair
+    consumers filter ``~star`` (every non-star row is a confirmed
+    hamming<=3 pair), component-dedup consumers use all edges and lose
+    nothing. Without the marker a degraded bucket would silently mix
+    sub-threshold connectivity edges into the similarity claims."""
     band_bits = simhash_bits(hasher) // 4
     band_mask = (1 << band_bits) - 1
     sigs = simhash(docs, shingle_n, hasher)
@@ -551,5 +554,5 @@ def simhash_near_duplicates(
             "star",
         )
         .filter((F.col("hamming") <= 3) | F.col("star"))
-        .select("doc_id_a", "doc_id_b", "hamming")
+        .select("doc_id_a", "doc_id_b", "hamming", "star")
     )

@@ -233,9 +233,13 @@ def test_embedding_near_dup_star_cap_preserves_connectivity(spark):
     capped_pairs = {(r.vec_id_a, r.vec_id_b) for r in capped}
     uncapped_pairs = {(r.vec_id_a, r.vec_id_b) for r in uncapped}
     assert capped_pairs != uncapped_pairs, "no bucket degraded; raise n"
-    # (b) sub-threshold star edges passed the confirm un-filtered
+    # (b) sub-threshold star edges passed the confirm un-filtered —
+    # and every one of them carries the star marker, so per-pair
+    # consumers can tell connectivity edges from similarity claims
     assert min(r.cosine for r in capped) < 0.6
     assert min(r.cosine for r in uncapped) >= 0.6
+    assert all(r.star for r in capped if r.cosine < 0.6)
+    assert all(not r.star for r in uncapped)
 
     # (c) every uncapped-confirmed pair stays in one component
     cap_df = spark.createDataFrame(

@@ -331,3 +331,69 @@ def test_http_fetch_bare_array_body():
         assert page.records == [{"A": "1", "B": "x"}, {"A": "2", "B": "y"}]
     finally:
         srv.shutdown()
+
+
+def test_retry_after_sleep_is_capped():
+    """A lying server ("Retry-After: 9999999999", or an HTTP-date years
+    out) must not park the worker: parse clamps to RETRY_AFTER_CAP_SEC,
+    and the retry loop clamps again for custom FetchFns that raise
+    RateLimited with arbitrary values."""
+    from gear5_spark.sources.rest import (
+        RETRY_AFTER_CAP_SEC,
+        RateLimited,
+        _fetch_with_retry,
+        _parse_retry_after,
+    )
+
+    assert _parse_retry_after("9999999999") == RETRY_AFTER_CAP_SEC
+    # HTTP-date a year in the future clamps too
+    import email.utils
+    import time as _time
+
+    future = email.utils.formatdate(_time.time() + 365 * 86400, usegmt=True)
+    assert _parse_retry_after(future) == RETRY_AFTER_CAP_SEC
+    assert _parse_retry_after("2") == 2.0
+    assert _parse_retry_after(None) == 0.0
+
+    # custom fetch raising an unclamped RateLimited: the loop clamps
+    slept = []
+    calls = {"n": 0}
+
+    def fetch(params):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RateLimited(retry_after_sec=10**12)
+        return Page(records=[], next_after=None)
+
+    stream = RestStream("ns", "s")
+    _fetch_with_retry(fetch, {}, stream, sleep=slept.append)
+    assert slept == [RETRY_AFTER_CAP_SEC]
+
+
+def test_http_fetch_scalar_body_raises_cleanly():
+    # a JSON scalar/null body (misconfigured URL, stringified error
+    # page) must fail with a diagnosis, not AttributeError
+    import http.server
+    import threading
+
+    from gear5_spark.sources.rest import make_http_fetch
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            payload = b'"oops"'
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        fetch = make_http_fetch(f"http://127.0.0.1:{srv.server_address[1]}/v")
+        with pytest.raises(ValueError, match="JSON str body"):
+            fetch({"limit": 1, "after": None})
+    finally:
+        srv.shutdown()
