@@ -284,6 +284,7 @@ def cmd_read(args) -> int:
                 exclude_columns=cfg.exclude_columns,
                 rollup=rollup if last else None,
                 partition_lineage=cfg.partition_lineage,
+                dedup_plan=cfg.dedup_plan,
             )
             runs_sec.append(round(time.perf_counter() - r0, 3))
             if not last:
@@ -306,6 +307,7 @@ def cmd_read(args) -> int:
             exclude_columns=cfg.exclude_columns,
             rollup=rollup,
             partition_lineage=cfg.partition_lineage,
+            dedup_plan=cfg.dedup_plan,
         )
         run_stream(
             spark, cfg.changelog_dir, table, cfg.checkpoint_dir,

@@ -32,6 +32,11 @@ class PipelineConfig:
     # for a steady tail — see runner.run_stream), bulk -> cow (one big
     # rewrite, zero read amplification afterwards)
     sink_mode: str | None = None  # cow | mor | None (auto)
+    # physical dedup plan: fused (one placement-keyed shuffle of the raw
+    # payload) | partial (map-side-combined, cheapest on high-update
+    # feeds) | auto (per batch by the previous batch's measured
+    # events-per-key ratio) — regime rationale in pipeline/apply.py
+    dedup_plan: str = "auto"
     compact_every: int = 8
     max_files_per_trigger: int = 4
     quarantine_dir: str | None = None
@@ -78,6 +83,10 @@ class PipelineConfig:
         if self.sink_mode not in ("cow", "mor", None):
             problems.append(
                 f"sink_mode must be cow|mor|None(auto), got {self.sink_mode}"
+            )
+        if self.dedup_plan not in ("auto", "fused", "partial"):
+            problems.append(
+                f"dedup_plan must be auto|fused|partial, got {self.dedup_plan}"
             )
         # sink_mode=mor + delete_mode=soft is legal: `read` bootstraps
         # the table with the soft property, and MoR reconstruct keeps

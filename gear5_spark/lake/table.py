@@ -1227,6 +1227,10 @@ class LakeTable:
                 T.StructField("event_count", T.LongType()),
                 T.StructField("txn_ids_hash", T.StringType()),
                 T.StructField("malformed_count", T.LongType()),
+                # physical dedup plan the batch ran (fused | partial |
+                # salted; NULL on pre-plan-audit commits and data-less
+                # quarantine-only commits)
+                T.StructField("dedup_plan", T.StringType()),
                 T.StructField("snapshot_id", T.StringType()),
                 T.StructField("snapshot_version", T.LongType()),
                 T.StructField("committed_at_ms", T.LongType()),

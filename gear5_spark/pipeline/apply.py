@@ -616,6 +616,13 @@ class TranscriptsApplier:
                 "event_count": int(stats["event_count"]),
                 "txn_ids_hash": format(stats["txn_hash"] & ((1 << 64) - 1), "x"),
                 "malformed_count": int(stats.get("malformed_count") or 0),
+                # which physical dedup plan this batch actually ran —
+                # the audit trail for dedup_plan="auto" decisions
+                "dedup_plan": (
+                    "salted"
+                    if self.salt_buckets > 1
+                    else ("fused" if use_fused else "partial")
+                ),
                 # snapshot_version is stamped by commit itself (the only
                 # value that survives an OCC rebase)
             }

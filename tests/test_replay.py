@@ -174,3 +174,8 @@ def test_dedup_plan_auto_switches_on_high_duplication(
     assert applier._last_dup_ratio == _pytest.approx(ratio0)
     applier(b1, 1)  # partial plan (ratio0 > threshold)
     _assert_matches_oracle(table, changelog_dir)
+    # the per-batch plan decision lands in the lineage audit trail
+    plans = {
+        r["batch_id"]: r["dedup_plan"] for r in table.lineage_df().collect()
+    }
+    assert plans == {0: "fused", 1: "partial"}
