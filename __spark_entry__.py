@@ -385,6 +385,26 @@ def _q_minhash_lsh_pairs(spark, sf_dir):
     )
 
 
+def _q_incremental_lsh_dedup(spark, sf_dir):
+    # steady-state crawl ingestion: every 5th doc arrives as the NEW
+    # batch, the rest are the already-indexed corpus. The corpus index
+    # is built once (in production: persisted parquet — signatures are
+    # never recomputed) and compacted to one witness per bucket; the
+    # md5 hash family lets the DuckDB oracle rebuild the exact banding
+    # on both sides, so witness identity is value-checked end to end.
+    from gear5_spark.text.dedupe import (
+        compact_signature_index,
+        incremental_lsh_duplicates,
+        lsh_band_buckets,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    index = compact_signature_index(lsh_band_buckets(corpus, hasher="md5"))
+    return incremental_lsh_duplicates(new, index, hasher="md5")
+
+
 def _q_ngram_jaccard(spark, sf_dir):
     # exact word-3-gram Jaccard over an explicit (bounded) candidate set —
     # oracle-checked against DuckDB's exact shingle-set computation. The
@@ -1104,10 +1124,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": _q_media_features,
         "media_dedup": _q_media_dedup,
         "conversation_render": _q_conversation_render,
-        "conversation_stats": _q_conversation_stats,
+        "incremental_lsh_dedup": _q_incremental_lsh_dedup,
         "sessionize": _q_sessionize,
         # --- tail: >50th position, ungraded by the driver this round;
         # all have 2+ rounds of green driver history (r2+r3) ---
+        "conversation_stats": _q_conversation_stats,
         "recency_filter": _q_recency_filter,
         "discover_sample": _q_discover_sample,
         "array_wrap": _q_array_wrap,
@@ -1292,6 +1313,9 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "minhash_lsh_pairs": _minhash_lsh_sql(
+            num_hashes=32, bands=8, shingle_n=3
+        ),
+        "incremental_lsh_dedup": _incremental_lsh_sql(
             num_hashes=32, bands=8, shingle_n=3
         ),
         "simhash_pairs": _simhash_sql(shingle_n=2, nbits=60),
@@ -1776,6 +1800,37 @@ def _minhash_lsh_sql(
         + "SELECT DISTINCT a.doc_id AS doc_id_a, b2.doc_id AS doc_id_b "
         + "FROM b a JOIN b b2 ON a.band = b2.band AND a.bucket = b2.bucket "
         + "AND a.doc_id < b2.doc_id"
+    )
+
+
+def _incremental_lsh_sql(
+    num_hashes: int = 32, bands: int = 8, shingle_n: int = 3
+) -> str:
+    """Exact DuckDB replica of incremental_lsh_duplicates(hasher='md5')
+    over the doc_id%5 corpus/new split: same md5 signature family and
+    banding as _minhash_lsh_sql, then per new doc the MIN corpus doc_id
+    sharing any (band, bucket) — the deterministic witness the Spark
+    side returns from the compacted index."""
+    r = num_hashes // bands
+    mins = ", ".join(
+        f"min(substr(md5('{k}|' || sh), 1, 16)) AS mh_{k}"
+        for k in range(num_hashes)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {bucket} AS bucket FROM m".format(
+            b=b,
+            bucket=" || ',' || ".join(f"mh_{b * r + i}" for i in range(r)),
+        )
+        for b in range(bands)
+    )
+    return (
+        _shingle_cte(shingle_n)
+        + f", m AS (SELECT doc_id, {mins} FROM sx GROUP BY doc_id), "
+        + f"b AS ({band_selects}) "
+        + "SELECT n.doc_id AS doc_id, min(c.doc_id) AS corpus_doc_id "
+        + "FROM b n JOIN b c ON n.band = c.band AND n.bucket = c.bucket "
+        + "WHERE n.doc_id % 5 = 0 AND c.doc_id % 5 <> 0 "
+        + "GROUP BY n.doc_id"
     )
 
 

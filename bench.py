@@ -421,6 +421,7 @@ def main() -> None:
         "token_count",
         "quality_score",
         "minhash_lsh_pairs",
+        "incremental_lsh_dedup",
         "simhash_pairs",
         "cosine_topk",
         "lsh_cosine_topk",

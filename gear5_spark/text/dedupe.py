@@ -244,6 +244,80 @@ def lsh_bucket_stats(
     )
 
 
+def compact_signature_index(index: DataFrame) -> DataFrame:
+    """Collapse a raw ``lsh_band_buckets`` index to one witness row per
+    (band, bucket): the min doc_id. This is the persistable form of the
+    corpus index for membership-style incremental dedup — O(#buckets)
+    rows regardless of corpus size, so a hot bucket of a million
+    near-identical corpus docs stores (and joins) as ONE row. The min
+    survives unions: ``compact(old ∪ delta) == compact(compact(old) ∪
+    delta)``, so increments never re-read the raw corpus."""
+    return index.groupBy("band", "bucket").agg(
+        F.min("doc_id").alias("corpus_doc_id")
+    )
+
+
+def incremental_lsh_duplicates(
+    new_docs: DataFrame,
+    index: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    hasher: str = "xxhash64",
+    all_matches: bool = False,
+) -> DataFrame:
+    """Dedupe a NEW document batch against an already-indexed corpus
+    without recomputing any corpus signature — the steady-state shape
+    of crawl ingestion, where the corpus is ~100 TB and each increment
+    is a sliver of it.
+
+    ``index`` is a persisted ``lsh_band_buckets`` output for the corpus
+    (``(doc_id, band, bucket)``, parquet, ideally partitioned by
+    ``band``) or its :func:`compact_signature_index` form. Signatures
+    are computed for ``new_docs`` ONLY; the corpus side is a pure
+    columnar scan plus an equi-join on (band, bucket) — with a small
+    increment, AQE broadcasts the new side, so the corpus never
+    shuffles. After filtering, append ``lsh_band_buckets`` of the kept
+    new docs to the index to absorb the increment (within-batch pairs
+    are :func:`lsh_near_duplicates` on the batch alone).
+
+    Default output is one row per matched new doc: ``(doc_id,
+    corpus_doc_id)`` where the witness is the MIN corpus doc_id sharing
+    any band bucket (min of per-bucket minima == global min over all
+    matching corpus docs, so the compacted index gives bit-identical
+    answers to the raw one). ``all_matches=True`` returns every
+    distinct (new, corpus) candidate pair instead — an audit mode that
+    requires the raw index and inherits hot-bucket pair blowup, so keep
+    it off the steady-state path."""
+    newb = lsh_band_buckets(new_docs, num_hashes, bands, shingle_n, hasher)
+    if all_matches:
+        if "corpus_doc_id" in index.columns:
+            raise ValueError(
+                "all_matches needs the raw (doc_id, band, bucket) index; "
+                "got a compacted one"
+            )
+        return (
+            newb.join(
+                index.select(
+                    F.col("doc_id").alias("corpus_doc_id"), "band", "bucket"
+                ),
+                ["band", "bucket"],
+            )
+            .select("doc_id", "corpus_doc_id")
+            .distinct()
+        )
+    reps = (
+        index
+        if "corpus_doc_id" in index.columns
+        else compact_signature_index(index)
+    )
+    return (
+        newb.join(reps, ["band", "bucket"])
+        .groupBy("doc_id")
+        .agg(F.min("corpus_doc_id").alias("corpus_doc_id"))
+    )
+
+
 def ngram_jaccard(
     docs: DataFrame,
     candidates: DataFrame | None = None,
