@@ -375,8 +375,17 @@ def main() -> None:
                 f"membw_mb_per_sec_{n}p": bw_by_cores[n]
                 for n in sorted(bw_by_cores)
             },
-            "hw_efficiency_low_to_high": _hw_eff(SCALE_LOW, SCALE_HIGH),
-            "bw_efficiency_low_to_high": _bw_eff(SCALE_LOW, SCALE_HIGH),
+            # summary ceilings follow the SELECTED rule pair (each pair
+            # dict also carries its own same-run values) — a fixed
+            # (2,8) summary next to an (8,32) rule_pair would mislead
+            # any reader normalizing by the top-level number
+            "pair": [pairs[0]["cores_low"], pairs[0]["cores_high"]],
+            "hw_efficiency_low_to_high": _hw_eff(
+                pairs[0]["cores_low"], pairs[0]["cores_high"]
+            ),
+            "bw_efficiency_low_to_high": _bw_eff(
+                pairs[0]["cores_low"], pairs[0]["cores_high"]
+            ),
         },
         "phase_breakdown": {
             str(c): PHASES_BY_CORES[c] for c in sorted(PHASES_BY_CORES)

@@ -262,6 +262,10 @@ def cmd_read(args) -> int:
                 # workload instead of the cold/warm pair this records
                 shutil.rmtree(tdir, ignore_errors=True)
                 shutil.rmtree(ckpt, ignore_errors=True)
+                if cfg.quarantine_dir:
+                    shutil.rmtree(
+                        f"{cfg.quarantine_dir}.jit{i}", ignore_errors=True
+                    )
             tbl = table if last else bootstrap_table(
                 spark, tdir, n_buckets=cfg.n_buckets,
                 delete_mode=cfg.delete_mode,
@@ -280,7 +284,19 @@ def cmd_read(args) -> int:
                 delete_mode=cfg.delete_mode,
                 sink_mode=cfg.resolved_sink_mode,
                 compact_every=cfg.compact_every,
-                quarantine_dir=cfg.quarantine_dir,
+                # warm (throwaway) repeats must not churn the REAL
+                # dead-letter dir: their table/checkpoint are discarded,
+                # so their quarantine output would describe batches the
+                # production table never committed
+                quarantine_dir=(
+                    cfg.quarantine_dir
+                    if last
+                    else (
+                        f"{cfg.quarantine_dir}.jit{i}"
+                        if cfg.quarantine_dir
+                        else None
+                    )
+                ),
                 exclude_columns=cfg.exclude_columns,
                 rollup=rollup if last else None,
                 partition_lineage=cfg.partition_lineage,
@@ -290,6 +306,10 @@ def cmd_read(args) -> int:
             if not last:
                 shutil.rmtree(tdir, ignore_errors=True)
                 shutil.rmtree(ckpt, ignore_errors=True)
+                if cfg.quarantine_dir:
+                    shutil.rmtree(
+                        f"{cfg.quarantine_dir}.jit{i}", ignore_errors=True
+                    )
             else:
                 t0 = r0  # elapsed_sec times the FINAL (steady) run
     else:

@@ -88,6 +88,13 @@ class PipelineConfig:
             problems.append(
                 f"dedup_plan must be auto|fused|partial, got {self.dedup_plan}"
             )
+        if self.dedup_plan == "fused" and self.salt_buckets > 1:
+            # fused co-locates dedup with bucket placement; salting is
+            # incompatible with co-location — reject rather than
+            # silently run the salted two-shuffle plan
+            problems.append(
+                "dedup_plan='fused' is incompatible with salt_buckets > 1"
+            )
         # sink_mode=mor + delete_mode=soft is legal: `read` bootstraps
         # the table with the soft property, and MoR reconstruct keeps
         # delete winners as tombstones (lake/mor.py). A PRE-EXISTING

@@ -151,6 +151,17 @@ class TranscriptsApplier:
             raise ValueError(
                 f"dedup_plan must be auto|fused|partial, got {self.dedup_plan!r}"
             )
+        if self.dedup_plan == "fused" and self.salt_buckets > 1:
+            # the fused plan co-locates dedup with bucket placement —
+            # salting is incompatible with co-location, so honoring the
+            # request is impossible; a silent downgrade to the salted
+            # two-shuffle plan would hide the perf contract the caller
+            # explicitly asked for (auto/partial + salting stay legal)
+            raise ValueError(
+                "dedup_plan='fused' is incompatible with salt_buckets > 1 "
+                f"(got {self.salt_buckets}); use dedup_plan='auto' or "
+                "'partial' with salted dedup"
+            )
         if self.sink_mode == "mor" and self.delete_mode == "soft":
             # MoR deletes survive as tombstones only when the TABLE was
             # created soft (reconstruct/compact read the property); a

@@ -153,7 +153,19 @@ def make_http_fetch(
             if node is None:
                 break
         nxt = None if node is None else str(node)
-        return Page(records=list(body.get(records_key) or []), next_after=nxt)
+        records = body.get(records_key)
+        if records is None:
+            records = []
+        elif not isinstance(records, list):
+            # a dict would iterate as its keys, a string as characters —
+            # garbage rows with no error. Same fail-fast contract as the
+            # non-object body guard above.
+            raise ValueError(
+                f"endpoint {url} returned a JSON "
+                f"{type(records).__name__} under {records_key!r}; "
+                "expected an array of records"
+            )
+        return Page(records=records, next_after=nxt)
 
     return fetch
 

@@ -244,16 +244,38 @@ def lsh_bucket_stats(
     )
 
 
+def _as_raw_index(index: DataFrame) -> DataFrame:
+    """Normalize raw (doc_id) or compacted (corpus_doc_id) index rows to
+    the (doc_id, band, bucket) shape so the two forms compose."""
+    id_col = "corpus_doc_id" if "corpus_doc_id" in index.columns else "doc_id"
+    return index.select(F.col(id_col).alias("doc_id"), "band", "bucket")
+
+
 def compact_signature_index(index: DataFrame) -> DataFrame:
-    """Collapse a raw ``lsh_band_buckets`` index to one witness row per
+    """Collapse an LSH signature index to one witness row per
     (band, bucket): the min doc_id. This is the persistable form of the
     corpus index for membership-style incremental dedup — O(#buckets)
     rows regardless of corpus size, so a hot bucket of a million
     near-identical corpus docs stores (and joins) as ONE row. The min
-    survives unions: ``compact(old ∪ delta) == compact(compact(old) ∪
-    delta)``, so increments never re-read the raw corpus."""
-    return index.groupBy("band", "bucket").agg(
+    survives unions — ``compact(old ∪ delta) == compact(compact(old) ∪
+    delta)`` — and this function accepts BOTH forms (raw
+    ``lsh_band_buckets`` output or an already-compacted index), so
+    increments never re-read the raw corpus; :func:`extend_signature_index`
+    is the one-call absorb step."""
+    return _as_raw_index(index).groupBy("band", "bucket").agg(
         F.min("doc_id").alias("corpus_doc_id")
+    )
+
+
+def extend_signature_index(index: DataFrame, delta: DataFrame) -> DataFrame:
+    """Absorb an increment into a persisted index: union the existing
+    index (raw or compacted) with the delta (``lsh_band_buckets`` of the
+    kept new docs, or another index in either form) and recompact. The
+    output is always the compacted O(#buckets) form — the steady-state
+    loop is ``index = extend_signature_index(index,
+    lsh_band_buckets(kept_new))`` with a parquet write per cycle."""
+    return compact_signature_index(
+        _as_raw_index(index).unionByName(_as_raw_index(delta))
     )
 
 
@@ -277,9 +299,10 @@ def incremental_lsh_duplicates(
     are computed for ``new_docs`` ONLY; the corpus side is a pure
     columnar scan plus an equi-join on (band, bucket) — with a small
     increment, AQE broadcasts the new side, so the corpus never
-    shuffles. After filtering, append ``lsh_band_buckets`` of the kept
-    new docs to the index to absorb the increment (within-batch pairs
-    are :func:`lsh_near_duplicates` on the batch alone).
+    shuffles. After filtering, absorb the increment with
+    :func:`extend_signature_index` over ``lsh_band_buckets`` of the kept
+    new docs (within-batch pairs are :func:`lsh_near_duplicates` on the
+    batch alone).
 
     Default output is one row per matched new doc: ``(doc_id,
     corpus_doc_id)`` where the witness is the MIN corpus doc_id sharing
@@ -362,13 +385,17 @@ def ngram_jaccard(
     # similarity claims: filtering them by jaccard would disconnect
     # mutually-similar members of an over-budget bucket (see
     # _banded_pairs). They pass through when the candidate set marks
-    # them; the jaccard value still reports the measured similarity.
+    # them — and the marker is KEPT in the output (same contract as
+    # embedding_near_duplicates): without it a degraded bucket would
+    # silently mix sub-threshold connectivity edges into the confirmed
+    # pairs. Component consumers use all edges; per-pair similarity
+    # consumers filter ~star.
     keep = F.col("jaccard") >= threshold
+    out_cols = ["doc_id_a", "doc_id_b", F.round("jaccard", 6).alias("jaccard")]
     if "star" in candidates.columns:
         keep = keep | F.col("star")
-    return j.filter(keep).select(
-        "doc_id_a", "doc_id_b", F.round("jaccard", 6).alias("jaccard")
-    )
+        out_cols.append("star")
+    return j.filter(keep).select(*out_cols)
 
 
 def connected_components(

@@ -13,6 +13,7 @@ import pytest
 
 from gear5_spark.text.dedupe import (
     compact_signature_index,
+    extend_signature_index,
     incremental_lsh_duplicates,
     lsh_band_buckets,
     lsh_near_duplicates,
@@ -92,13 +93,15 @@ def test_all_matches_returns_every_witness(spark, corpus, index):
 
 def test_increment_absorbs_into_index(spark, corpus, index):
     # batch 1: novel doc 200 -> indexed; batch 2: near-dup of 200 must
-    # match it through the EXTENDED index (min-compaction is union-safe)
+    # match it through the EXTENDED index (min-compaction is union-safe).
+    # The steady-state shape: the persisted index is the COMPACTED form
+    # and the absorb step must compose with it (review finding r4).
     b1 = _docs(
         spark, [(200, "brand new subject matter arriving in batch one")]
     )
     assert incremental_lsh_duplicates(b1, index).count() == 0
-    extended = compact_signature_index(
-        index.unionByName(lsh_band_buckets(b1))
+    extended = extend_signature_index(
+        compact_signature_index(index), lsh_band_buckets(b1)
     )
     b2 = _docs(
         spark, [(300, "brand new subject matter arriving in batch one")]

@@ -153,6 +153,10 @@ def test_ngram_jaccard_default_path_keeps_star_edges(spark):
     rows = starred.collect()
     assert len(rows) == n - 1
     assert {r.doc_id_a for r in rows} == {0}
+    # the marker must be IN the output (review r4): without it these
+    # sub-threshold connectivity edges are indistinguishable from
+    # confirmed similarity pairs to a per-pair consumer
+    assert all(r.star for r in rows)
     # uncapped: no degradation, no star edges, the impossible threshold
     # filters everything — proving survival above came from star marking
     assert (

@@ -179,3 +179,16 @@ def test_dedup_plan_auto_switches_on_high_duplication(
         r["batch_id"]: r["dedup_plan"] for r in table.lineage_df().collect()
     }
     assert plans == {0: "fused", 1: "partial"}
+
+
+def test_fused_plan_with_salting_is_rejected():
+    # honoring dedup_plan="fused" is impossible with salting (co-location
+    # vs salt are contradictory); the applier must refuse, not silently
+    # run the salted two-shuffle plan (review r4)
+    from gear5_spark.pipeline.apply import TranscriptsApplier
+
+    with pytest.raises(ValueError, match="incompatible"):
+        TranscriptsApplier(
+            table=None, app_id="x", registry_path="/tmp/never-used",
+            dedup_plan="fused", salt_buckets=4,
+        )

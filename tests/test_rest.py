@@ -397,3 +397,33 @@ def test_http_fetch_scalar_body_raises_cleanly():
             fetch({"limit": 1, "after": None})
     finally:
         srv.shutdown()
+
+
+def test_http_fetch_non_list_records_raises_cleanly():
+    # schema drift / error pages: a dict under the records key would
+    # iterate as its KEYS, a string as characters — both must fail with
+    # a diagnosis instead of flowing into createDataFrame as garbage
+    import http.server
+    import threading
+
+    from gear5_spark.sources.rest import make_http_fetch
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            payload = b'{"results": "internal error"}'
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        fetch = make_http_fetch(f"http://127.0.0.1:{srv.server_address[1]}/v")
+        with pytest.raises(ValueError, match="expected an array"):
+            fetch({"limit": 1, "after": None})
+    finally:
+        srv.shutdown()
