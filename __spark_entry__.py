@@ -405,6 +405,62 @@ def _q_incremental_lsh_dedup(spark, sf_dir):
     return incremental_lsh_duplicates(new, index, hasher="md5")
 
 
+def _q_stream_incremental_dedup(spark, sf_dir):
+    """Gate oracle for the STREAMING incremental dedup path: replay the
+    new-batch split (doc_id % 5 == 0) as a 3-chunk file stream, probe
+    the static compacted corpus index per micro-batch (stateless
+    stream-static join over row-wise projection signatures), fold to
+    min witnesses in foreachBatch, and return the match log. Same md5
+    hash family and same DuckDB oracle as the batch entry
+    (`incremental_lsh_dedup`) — a red row means the streaming plan
+    diverged from the batch semantics."""
+    import shutil
+    import tempfile
+
+    from gear5_spark.streaming.dedup import run_incremental_dedup_stream
+    from gear5_spark.text.dedupe import (
+        compact_signature_index,
+        lsh_band_buckets,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    work = tempfile.mkdtemp(prefix="gear5-sid-")
+    try:
+        new_dir = os.path.join(work, "new")
+        new.repartition(3).write.parquet(new_dir)
+        idx_dir = os.path.join(work, "idx")
+        compact_signature_index(
+            lsh_band_buckets(corpus, hasher="md5")
+        ).write.parquet(idx_dir)
+        stream = (
+            spark.readStream.schema(new.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(new_dir)
+        )
+        out_dir = os.path.join(work, "out")
+        run_incremental_dedup_stream(
+            stream,
+            spark.read.parquet(idx_dir),
+            out_dir,
+            os.path.join(work, "ckpt"),
+            hasher="md5",
+            timeout_sec=600,
+        )
+        # materialize before the temp dir disappears; drop the
+        # batch_id partition-discovery column — each doc lands in
+        # exactly one micro-batch, so the union is already per-doc
+        rows = (
+            spark.read.parquet(out_dir)
+            .select("doc_id", "corpus_doc_id")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, "doc_id long, corpus_doc_id long")
+
+
 def _q_ngram_jaccard(spark, sf_dir):
     # exact word-3-gram Jaccard over an explicit (bounded) candidate set —
     # oracle-checked against DuckDB's exact shingle-set computation. The
@@ -1127,7 +1183,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_lsh_dedup": _q_incremental_lsh_dedup,
         "sessionize": _q_sessionize,
         # --- tail: >50th position, ungraded by the driver this round;
-        # all have 2+ rounds of green driver history (r2+r3) ---
+        # locally oracle-verified every round by scripts/check_oracle.py.
+        # stream_incremental_dedup is new in r4 (exact oracle, shared
+        # with the batch entry); the rest have 2+ rounds of green driver
+        # history (r2+r3) ---
+        "stream_incremental_dedup": _q_stream_incremental_dedup,
         "conversation_stats": _q_conversation_stats,
         "recency_filter": _q_recency_filter,
         "discover_sample": _q_discover_sample,
@@ -1316,6 +1376,10 @@ def oracle_sql() -> dict[str, str]:
             num_hashes=32, bands=8, shingle_n=3
         ),
         "incremental_lsh_dedup": _incremental_lsh_sql(
+            num_hashes=32, bands=8, shingle_n=3
+        ),
+        # the streaming path must land on the identical match log
+        "stream_incremental_dedup": _incremental_lsh_sql(
             num_hashes=32, bands=8, shingle_n=3
         ),
         "simhash_pairs": _simhash_sql(shingle_n=2, nbits=60),

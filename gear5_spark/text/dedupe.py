@@ -62,19 +62,19 @@ def shingles(col, n: int = 3):
     )
 
 
-def _shingle_hash(k: int, hasher: str):
-    """Per-k shingle hash of column ``s``. ``xxhash64`` (default, fastest
-    JVM path) or ``md5``: first 16 hex chars of md5("{k}|{shingle}") as a
-    STRING — lexicographic min over pure-ASCII hex is well-defined and
-    bit-identical in any engine with md5, so the md5 family is the
-    cross-engine-reproducible mode the DuckDB correctness oracle can
-    recompute exactly."""
+def _shingle_hash(k: int, hasher: str, col=None):
+    """Per-k shingle hash of column ``s`` (or an explicit expression —
+    the row-wise path hashes inside an array lambda). ``xxhash64``
+    (default, fastest JVM path) or ``md5``: first 16 hex chars of
+    md5("{k}|{shingle}") as a STRING — lexicographic min over pure-ASCII
+    hex is well-defined and bit-identical in any engine with md5, so the
+    md5 family is the cross-engine-reproducible mode the DuckDB
+    correctness oracle can recompute exactly."""
+    col = F.col("s") if col is None else col
     if hasher == "xxhash64":
-        return F.xxhash64("s", F.lit(k))
+        return F.xxhash64(col, F.lit(k))
     if hasher == "md5":
-        return F.substring(
-            F.md5(F.concat(F.lit(f"{k}|"), F.col("s"))), 1, 16
-        )
+        return F.substring(F.md5(F.concat(F.lit(f"{k}|"), col)), 1, 16)
     raise ValueError(f"unknown hasher {hasher!r}")
 
 
@@ -104,6 +104,45 @@ def minhash_signatures(
     return agg.select(
         "doc_id",
         F.array(*[F.col(f"mh_{k}") for k in range(num_hashes)]).alias("minhash"),
+    )
+
+
+def minhash_signatures_rowwise(
+    docs: DataFrame,
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """Stream-safe MinHash signatures: min over the shingle array per
+    hash k as a PURE PROJECTION (``array_min`` over a ``transform``
+    lambda) — no explode, no groupBy. Bit-identical to
+    :func:`minhash_signatures` (tested), but legal on a STREAMING
+    DataFrame, where the explode+groupBy plan would be a stateful
+    aggregation. The batch default stays explode+groupBy because K
+    independent min aggregates keep codegen flat; this variant trades
+    one large nested expression for statelessness.
+
+    NULL-text docs are dropped — the batch path drops them implicitly
+    (explode of a NULL shingle array emits no rows); without this
+    filter the row-wise path would emit all-NULL signatures whose band
+    buckets collide with each other."""
+    docs = docs.filter(F.col("text").isNotNull())
+    sh = shingles(F.col("text"), shingle_n)
+
+    def _hash_k(k: int):
+        # a single-arg closure: F.transform inspects the lambda's arity
+        # and a second parameter (even defaulted) would receive the
+        # ELEMENT INDEX column, silently replacing k
+        return lambda s: _shingle_hash(k, hasher, s)
+
+    return docs.select(
+        "doc_id",
+        F.array(
+            *[
+                F.array_min(F.transform(sh, _hash_k(k))).alias(f"mh_{k}")
+                for k in range(num_hashes)
+            ]
+        ).alias("minhash"),
     )
 
 
@@ -193,6 +232,17 @@ def lsh_band_buckets(
     generation and bucket diagnostics. In md5 mode the bucket is the
     band's signature values joined verbatim (a string) instead of a
     re-hash, so an external engine can rebuild the exact assignment."""
+    sigs = minhash_signatures(docs, num_hashes, shingle_n, hasher)
+    return band_assignments(sigs, num_hashes, bands, hasher)
+
+
+def band_assignments(
+    sigs: DataFrame, num_hashes: int, bands: int, hasher: str = "xxhash64"
+) -> DataFrame:
+    """(doc_id, band, bucket) from a (doc_id, minhash) signature frame —
+    a pure projection + explode, shared by the batch path
+    (:func:`lsh_band_buckets`) and the stream-safe row-wise path
+    (:func:`minhash_signatures_rowwise`)."""
     if not 1 <= bands <= num_hashes or num_hashes % bands:
         # bands > num_hashes would silently hash ZERO rows per band
         # (every doc in one global bucket); a non-dividing band count
@@ -202,7 +252,6 @@ def lsh_band_buckets(
             f"num_hashes={num_hashes})"
         )
     r = num_hashes // bands
-    sigs = minhash_signatures(docs, num_hashes, shingle_n, hasher)
 
     def _bucket(b: int):
         joined = F.concat_ws(

@@ -141,3 +141,65 @@ def test_md5_family_matches_gate_split(spark):
     )
     missed = exact.join(out, "doc_id", "left_anti").count()
     assert missed == 0
+
+
+def test_rowwise_signatures_bit_identical_to_agg(spark):
+    # the stream-safe projection path must produce EXACTLY the batch
+    # signatures — both hash families
+    from gear5_spark.text.dedupe import (
+        minhash_signatures,
+        minhash_signatures_rowwise,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        .filter(F.col("text").isNotNull())
+        .limit(120)
+    )
+    for hasher in ("xxhash64", "md5"):
+        a = {
+            r["doc_id"]: tuple(r["minhash"])
+            for r in minhash_signatures(docs, hasher=hasher).collect()
+        }
+        b = {
+            r["doc_id"]: tuple(r["minhash"])
+            for r in minhash_signatures_rowwise(docs, hasher=hasher).collect()
+        }
+        assert a == b
+
+
+def test_stream_incremental_dedup_matches_batch(spark, tmp_path):
+    # availableNow drain over a file stream must produce the same
+    # (doc_id, min witness) set as the batch operator
+    from gear5_spark.streaming.dedup import run_incremental_dedup_stream
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    new_dir = str(tmp_path / "new")
+    new.repartition(3).write.parquet(new_dir)
+
+    index = compact_signature_index(lsh_band_buckets(corpus))
+    index_dir = str(tmp_path / "idx")
+    index.write.parquet(index_dir)
+    static_index = spark.read.parquet(index_dir)
+
+    stream = (
+        spark.readStream.schema(new.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(new_dir)
+    )
+    out_dir = str(tmp_path / "out")
+    run_incremental_dedup_stream(
+        stream, static_index, out_dir, str(tmp_path / "ckpt"),
+        timeout_sec=300,
+    )
+    got = {
+        (r["doc_id"], r["corpus_doc_id"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    want = {
+        (r["doc_id"], r["corpus_doc_id"])
+        for r in incremental_lsh_duplicates(new, static_index).collect()
+    }
+    assert got == want and len(want) > 0
