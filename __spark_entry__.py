@@ -1157,7 +1157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
         "cosine_topk": _q_cosine_topk,
-        "embedding_norm": _q_embedding_norm,
+        "stream_incremental_dedup": _q_stream_incremental_dedup,
         "embedding_near_dup": _q_embedding_near_dup,
         "column_profile": _q_column_profile,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
@@ -1184,10 +1184,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _q_sessionize,
         # --- tail: >50th position, ungraded by the driver this round;
         # locally oracle-verified every round by scripts/check_oracle.py.
-        # stream_incremental_dedup is new in r4 (exact oracle, shared
-        # with the batch entry); the rest have 2+ rounds of green driver
-        # history (r2+r3) ---
-        "stream_incremental_dedup": _q_stream_incremental_dedup,
+        # All have 2+ rounds of green driver history (r2+r3);
+        # embedding_norm rotated out r4 to give the NEW
+        # stream_incremental_dedup entry a driver row ---
+        "embedding_norm": _q_embedding_norm,
         "conversation_stats": _q_conversation_stats,
         "recency_filter": _q_recency_filter,
         "discover_sample": _q_discover_sample,
