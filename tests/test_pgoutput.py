@@ -316,3 +316,67 @@ def test_pgoutput_rows_match_wal2json_rows():
         },
     )
     assert pg_rows == wal_rows
+
+
+# ------------------------------------------------- property: wire parity
+
+
+def test_property_any_sequence_matches_wal2json_path():
+    """ANY valid CDC sequence (inserts / updates / key-changing moves /
+    deletes, grouped into transactions) encoded as pgoutput binary
+    messages decodes to row-for-row the SAME CHANGE_SCHEMA rows as the
+    equivalent wal2json envelopes — both wire formats are one feed."""
+    from datetime import datetime, timezone
+
+    from hypothesis import given, settings
+    from tests.test_wal_property import _change, _envelope, wal_sequences
+
+    from gear5_spark.sources.wal_adapter import changes_from_wal2json
+
+    epoch_ms = int(
+        datetime(2026, 1, 1, tzinfo=timezone.utc).timestamp() * 1000
+    )
+    ts_us = (epoch_ms - PG_EPOCH_MS) * 1000
+    rel = msg_relation(
+        7001,
+        "public",
+        "transcripts",
+        [("conv_id", 25, True), ("turn_idx", 23, True),
+         ("role", 25, False), ("text", 25, False)],
+    )
+
+    def _encode(ch):
+        if ch["kind"] == "delete":
+            ok = ch["oldkeys"]
+            return msg_delete(7001, [str(ok["keyvalues"][0]),
+                                     str(ok["keyvalues"][1]), None, None])
+        vals = [str(v) if v is not None else None
+                for v in ch["columnvalues"]]
+        if ch["kind"] == "insert":
+            return msg_insert(7001, vals)
+        ok = ch["oldkeys"]
+        return msg_update(7001, new=vals,
+                          old=[str(ok["keyvalues"][0]),
+                               str(ok["keyvalues"][1]), None, None])
+
+    @settings(max_examples=25, deadline=None)
+    @given(events=wal_sequences())
+    def run(events):
+        dec = PgOutputDecoder()
+        payloads = [rel]
+        wal_rows = []
+        lsn = 500
+        for start in range(0, len(events), 3):
+            chunk = events[start : start + 3]
+            changes = [_change(op, k, k2, f"t{start + i}")
+                       for i, (op, k, k2) in enumerate(chunk)]
+            env = _envelope(lsn, changes)
+            env["timestamp"] = epoch_ms
+            wal_rows.extend(changes_from_wal2json(lsn, env))
+            payloads.append(msg_begin(lsn, ts_us, lsn))
+            payloads.extend(_encode(c) for c in changes)
+            payloads.append(msg_commit(lsn, lsn + 8, ts_us))
+            lsn += 1
+        assert changes_from_pgoutput(dec, payloads) == wal_rows
+
+    run()
