@@ -361,6 +361,27 @@ def _q_embedding_norm(spark, sf_dir):
     )
 
 
+def _q_semantic_dedup(spark, sf_dir):
+    # SemDeDup-style cluster-scoped embedding dedup: 16-cluster
+    # deterministic quantizer (min-id — the DuckDB oracle recomputes the
+    # identical assignment, as in ivf_cosine_topk), within-cluster exact
+    # cosine >= 0.35 edges, connected components, min-id canonical
+    # (0.35 sits 3.6e-4 clear of the nearest pair cosine at sf0.01 —
+    # no float-boundary hazard; 0.5 would match zero pairs on this
+    # uniform-random corpus).
+    # Uncapped cluster size (ADVICE r3 rationale): the oracle is the
+    # exact within-cluster all-pairs answer, so a mismatch always means
+    # a genuine defect, never a documented star-cap divergence.
+    import sys as _sys
+
+    from gear5_spark.sim.ann import semantic_dedup
+
+    return semantic_dedup(
+        _t(spark, sf_dir, "embeddings"), threshold=0.35, n_clusters=16,
+        max_cluster_size=_sys.maxsize,
+    )
+
+
 # ------------------------------------------------- engine-native (rows-only)
 
 
@@ -1184,9 +1205,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _q_sessionize,
         # --- tail: >50th position, ungraded by the driver this round;
         # locally oracle-verified every round by scripts/check_oracle.py.
-        # All have 2+ rounds of green driver history (r2+r3);
-        # embedding_norm rotated out r4 to give the NEW
-        # stream_incremental_dedup entry a driver row ---
+        # All but semantic_dedup have 2+ rounds of green driver history
+        # (r2+r3); embedding_norm rotated out r4 to give the NEW
+        # stream_incremental_dedup entry a driver row. semantic_dedup is
+        # new late-r4 (exact oracle) — rotate it into the first 50 next
+        # round in place of another proven scalar entry ---
+        "semantic_dedup": _q_semantic_dedup,
         "embedding_norm": _q_embedding_norm,
         "conversation_stats": _q_conversation_stats,
         "recency_filter": _q_recency_filter,
@@ -1438,6 +1462,36 @@ def oracle_sql() -> dict[str, str]:
             "CAST(min({c}) AS VARCHAR) AS min_value, "
             "CAST(max({c}) AS VARCHAR) AS max_value FROM events".format(c=c)
             for c in ("event_id", "user_id", "event_type", "value")
+        ),
+        "semantic_dedup": (
+            # identical deterministic quantization as the ivf oracle
+            # (min-id centroids, cosine-desc/cid-asc assignment), exact
+            # within-cluster all-pairs edges, recursive-CTE components
+            "WITH RECURSIVE v AS (SELECT vec_id, "
+            "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec "
+            "FROM embeddings), "
+            "c AS (SELECT vec_id AS cid, vec AS cvec FROM v "
+            "ORDER BY vec_id LIMIT 16), "
+            "ac AS (SELECT v.vec_id, c.cid, row_number() OVER ("
+            "PARTITION BY v.vec_id ORDER BY "
+            "list_cosine_similarity(v.vec, c.cvec) DESC, c.cid ASC) AS rn "
+            "FROM v, c), "
+            "asg AS (SELECT vec_id, cid FROM ac WHERE rn = 1), "
+            "e AS (SELECT a.vec_id AS da, b.vec_id AS db "
+            "FROM asg a JOIN asg b ON a.cid = b.cid "
+            "AND a.vec_id < b.vec_id "
+            "JOIN v va ON va.vec_id = a.vec_id "
+            "JOIN v vb ON vb.vec_id = b.vec_id "
+            "WHERE list_cosine_similarity(va.vec, vb.vec) >= 0.35), "
+            "sym AS (SELECT da AS a, db AS b FROM e "
+            "UNION SELECT db, da FROM e), "
+            "r AS (SELECT a AS node, a AS lab FROM sym "
+            "UNION SELECT s.a, r.lab FROM sym s JOIN r ON s.b = r.node), "
+            "m AS (SELECT node AS vec_id, min(lab) AS cluster_id "
+            "FROM r GROUP BY node) "
+            "SELECT vec_id, cluster_id, "
+            "count(*) OVER (PARTITION BY cluster_id) AS cluster_size, "
+            "vec_id = cluster_id AS is_canonical FROM m"
         ),
         "ivf_cosine_topk": (
             "WITH v AS (SELECT vec_id, "

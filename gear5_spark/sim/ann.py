@@ -399,6 +399,89 @@ def ivf_cosine_topk(
     )
 
 
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_cluster_size: int = 1000,
+    max_iterations: int = 25,
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate clustering (Abbas et al.
+    2023, "SemDeDup"): partition the corpus into ``n_clusters`` coarse
+    clusters with a broadcast quantizer, compare embeddings ONLY within
+    their cluster (exact cosine >= ``threshold``), connect the surviving
+    edges transitively, and keep the min-id member of each group as
+    canonical.
+
+    This is the third candidate generator next to sign-LSH
+    (:func:`embedding_near_duplicates`) and MinHash (text path):
+    cluster-scoped comparison costs O(sum of cluster_size^2) instead of
+    O(n^2), and the quantizer — like IVF's — ships to workers as a pure
+    broadcast expression, so assignment is one scan with no shuffle. The
+    pair stage reuses the banded-bucket machinery (one shuffle, JVM
+    array-lambda pair expansion, hot clusters degrade to star pairing)
+    with each cluster acting as a single-band bucket; star edges pass
+    the cosine confirm un-filtered (connectivity contract,
+    text/dedupe._banded_pairs) so an over-budget cluster never
+    disconnects mutually-similar members.
+
+    ``centroids`` defaults to the deterministic min-id quantizer
+    (:func:`ivf_centroids` — DuckDB-reproducible, used by the oracle
+    gate); pass :func:`kmeans_centroids` output for the data-adapted
+    partitioning a production corpus wants. Output: (vec_id, cluster_id,
+    cluster_size, is_canonical) for every vector in a multi-member
+    semantic-duplicate group — same shape as ``dedup_clusters``, so
+    downstream keep/drop logic is shared."""
+    from gear5_spark.text.dedupe import _banded_pairs, connected_components
+
+    cents = centroids or ivf_centroids(emb, n_clusters, vec_col, id_col)
+    banded = emb.select(
+        F.col(id_col).alias("doc_id"),
+        F.lit(0).alias("band"),
+        F.element_at(_top_lists(F.col(vec_col), cents, 1), 1).alias(
+            "bucket"
+        ),
+    )
+    cand = _banded_pairs(banded, max_cluster_size, mark_star=True)
+    va = emb.select(
+        F.col(id_col).alias("doc_id_a"),
+        F.col(vec_col).alias("_va"),
+        _norm(F.col(vec_col)).alias("_na"),
+    )
+    vb = emb.select(
+        F.col(id_col).alias("doc_id_b"),
+        F.col(vec_col).alias("_vb"),
+        _norm(F.col(vec_col)).alias("_nb"),
+    )
+    edges = (
+        cand.join(va, "doc_id_a")
+        .join(vb, "doc_id_b")
+        .withColumn(
+            "cosine",
+            _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")),
+        )
+        .filter((F.col("cosine") >= threshold) | F.col("star"))
+        .select("doc_id_a", "doc_id_b")
+    )
+    labels = connected_components(
+        edges, "doc_id_a", "doc_id_b", max_iterations
+    )
+    return labels.select(
+        F.col("node").alias(id_col),
+        F.col("label").alias("cluster_id"),
+    ).select(
+        id_col,
+        "cluster_id",
+        F.count(F.lit(1))
+        .over(W.partitionBy("cluster_id"))
+        .alias("cluster_size"),
+        (F.col(id_col) == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
 def lsh_cosine_topk(
     emb: DataFrame,
     queries: DataFrame,

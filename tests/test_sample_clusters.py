@@ -351,3 +351,116 @@ def test_star_edges_survive_confirm_filter(spark):
     )
     got2 = {(r["doc_id_a"], r["doc_id_b"]) for r in plain.collect()}
     assert got2 == {(2, 3)}
+
+
+# ------------------------------------------------------- semantic dedup
+
+
+def test_semantic_dedup_matches_python_oracle(emb):
+    """Default (min-id) quantizer at the gate threshold vs an
+    independent driver-side numpy fold: assignment, edges, components,
+    canonicals all equal."""
+    import numpy as np
+
+    from gear5_spark.sim.ann import semantic_dedup
+
+    rows = sorted(
+        ((r.vec_id, np.array(r.embedding, dtype=np.float64))
+         for r in emb.collect()),
+        key=lambda t: t[0],
+    )
+    ids = [i for i, _ in rows]
+    vecs = np.stack([v for _, v in rows])
+    norms = np.linalg.norm(vecs, axis=1)
+    cents = vecs[:16]
+    cnorm = norms[:16]
+    sims = (vecs @ cents.T) / np.outer(norms, cnorm)
+    # cosine desc, centroid-id asc tie-break (== _top_lists ordering)
+    assign = np.lexsort((np.arange(16)[None, :].repeat(len(ids), 0),
+                         -sims), axis=1)[:, 0]
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    in_graph = set()
+    for a in range(len(ids)):
+        for b in range(a + 1, len(ids)):
+            if assign[a] != assign[b]:
+                continue
+            cos = vecs[a] @ vecs[b] / (norms[a] * norms[b])
+            if cos >= 0.35:
+                ra, rb = find(ids[a]), find(ids[b])
+                parent[max(ra, rb)] = min(ra, rb)
+                in_graph |= {ids[a], ids[b]}
+    expect = {}
+    for i in sorted(in_graph):
+        expect[i] = find(i)
+    got = {
+        r.vec_id: (r.cluster_id, r.cluster_size, r.is_canonical)
+        for r in semantic_dedup(emb, threshold=0.35, n_clusters=16).collect()
+    }
+    assert set(got) == in_graph
+    from collections import Counter
+
+    sizes = Counter(expect.values())
+    for i, lab in expect.items():
+        assert got[i] == (lab, sizes[lab], i == lab)
+
+
+def test_semantic_dedup_kmeans_quantizer_deterministic(emb):
+    from gear5_spark.sim.ann import kmeans_centroids, semantic_dedup
+
+    cents = kmeans_centroids(emb, k=8, iterations=2)
+    a = sorted(
+        (r.vec_id, r.cluster_id, r.cluster_size, r.is_canonical)
+        for r in semantic_dedup(
+            emb, threshold=0.3, centroids=cents
+        ).collect()
+    )
+    b = sorted(
+        (r.vec_id, r.cluster_id, r.cluster_size, r.is_canonical)
+        for r in semantic_dedup(
+            emb, threshold=0.3, centroids=kmeans_centroids(
+                emb, k=8, iterations=2
+            )
+        ).collect()
+    )
+    assert a == b and len(a) > 0
+    # canonical member of every cluster is the min id
+    for vid, cid, _, canon in a:
+        assert canon == (vid == cid)
+        assert vid >= cid
+
+
+def test_semantic_dedup_star_cap_keeps_mutually_similar(spark):
+    """A cluster degraded past max_cluster_size must not lose
+    mutually-similar members: star edges pass the cosine confirm as
+    connectivity edges (same contract as embedding_near_duplicates)."""
+    from gear5_spark.sim.ann import semantic_dedup
+
+    # 30 identical vectors (one hot cluster) + 2 orthogonal singletons;
+    # explicit orthogonal centroids (the min-id default would pick three
+    # IDENTICAL centroids here, tie-breaking the singletons into the hot
+    # bucket — valid behavior, but not what this test probes)
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(30)]
+    rows += [(100, [0.0, 1.0, 0.0, 0.0]), (101, [0.0, 0.0, 1.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    out = semantic_dedup(
+        df, threshold=0.99, centroids=cents, max_cluster_size=5
+    ).collect()
+    got = {r.vec_id: r.cluster_id for r in out}
+    # all 30 identical vectors form ONE component despite the degraded
+    # bucket (star spanning tree), canonical = min id 0
+    assert {got[i] for i in range(30)} == {0}
+    assert all(r.cluster_size == 30 for r in out if r.vec_id < 30)
+    # orthogonal vectors never joined a cluster
+    assert 100 not in got and 101 not in got
