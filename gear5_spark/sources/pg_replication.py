@@ -1,0 +1,384 @@
+"""Live Postgres logical-replication socket client (stdlib-only).
+
+This is the wire loop itself — the piece the adapter contract
+(``sources/wal_adapter.py``) and the pgoutput decoder
+(``sources/pgoutput.py``) were designed to plug into, speaking the
+public PostgreSQL frontend/backend protocol (v3.0) over a plain
+``socket``: startup with ``replication=database``, ``START_REPLICATION
+SLOT ... LOGICAL``, then the CopyBoth stream of ``XLogData`` /
+keepalive frames, acknowledged with standby-status updates. It mirrors
+the reference's receive loop one-to-one (``pkg/waljs/waljs.go:126-259``:
+start `:126-146`, receive `:179-259`, keepalive `:211-218`, ACK
+`:149-169`) with the durability split documented in ``wal_adapter.py``:
+only LSNs whose chunk file is atomically visible are ever acknowledged.
+
+Zero dependencies by design (no psycopg2 in this sandbox, and none
+needed): the replication subprotocol uses a handful of fixed-layout
+messages. Supported auth: trust and cleartext password (the sandbox
+fake server uses trust; production deployments terminating TLS/SCRAM
+should front this with a proxy or swap ``connect`` for a psycopg2
+connection — the streaming loop below is identical either way, see
+``PgOutputFeed``'s docstring for the psycopg2 form).
+
+Protocol layouts used (all big-endian; public PG docs "Message
+Formats" + "Streaming Replication Protocol"):
+
+=====  ==========================================================
+dir    message
+=====  ==========================================================
+F->B   Startup: Int32 len, Int32 196608, (key\\0value\\0)* \\0
+B->F   'R' auth: Int32 len, Int32 code (0 ok, 3 cleartext)
+F->B   'p' password: Int32 len, String
+B->F   'S' parameter status / 'K' backend key data (skipped)
+B->F   'Z' ready for query
+F->B   'Q' simple query: Int32 len, String
+B->F   'W' CopyBothResponse — the stream is live
+B->F   'd' CopyData: 'w' XLogData (Int64 walStart, Int64 walEnd,
+       Int64 sendTime, bytes payload) | 'k' keepalive (Int64
+       walEnd, Int64 sendTime, Byte replyRequested)
+F->B   'd' CopyData: 'r' standby status (Int64 received, Int64
+       flushed, Int64 applied, Int64 clientTime, Byte reply)
+B->F   'E' error response: (Byte field, String)* \\0
+=====  ==========================================================
+"""
+
+from __future__ import annotations
+
+import socket
+import struct
+import time
+from typing import Any, Callable, Iterator
+
+from gear5_spark.sources.pgoutput import PG_EPOCH_MS, PgOutputFeed
+
+#: protocol version 3.0
+_PROTO = 196608
+
+
+def _startup_payload(params: dict[str, str]) -> bytes:
+    body = struct.pack(">i", _PROTO)
+    for k, v in params.items():
+        body += k.encode() + b"\x00" + v.encode() + b"\x00"
+    body += b"\x00"
+    return struct.pack(">i", len(body) + 4) + body
+
+
+def _msg(tag: bytes, body: bytes) -> bytes:
+    return tag + struct.pack(">i", len(body) + 4) + body
+
+
+def _parse_error(body: bytes) -> str:
+    """ErrorResponse fields -> 'SEVERITY: message' (code M = message)."""
+    fields = {}
+    pos = 0
+    while pos < len(body) and body[pos] != 0:
+        code = chr(body[pos])
+        end = body.index(b"\x00", pos + 1)
+        fields[code] = body[pos + 1 : end].decode("utf-8", "replace")
+        pos = end + 1
+    return f"{fields.get('S', 'ERROR')}: {fields.get('M', repr(body))}"
+
+
+def lsn_str(lsn: int) -> str:
+    """int -> Postgres textual LSN ('X/Y')."""
+    return f"{lsn >> 32:X}/{lsn & 0xFFFFFFFF:X}"
+
+
+def parse_lsn(s: str) -> int:
+    hi, lo = s.split("/")
+    return (int(hi, 16) << 32) | int(lo, 16)
+
+
+class ReplicationError(RuntimeError):
+    pass
+
+
+class ReplicationClient:
+    """Minimal logical-replication frontend over one socket.
+
+    Usage (matching the reference loop)::
+
+        client = ReplicationClient(host, port, user="rep", dbname="app")
+        client.connect()
+        feed = PgOutputFeed(changelog_dir)
+        client.run(feed, slot="g5", publication="g5pub",
+                   batch_rows=10_000)   # blocks; Ctrl-C / stop() to end
+    """
+
+    def __init__(
+        self,
+        host: str,
+        port: int,
+        user: str,
+        dbname: str,
+        password: str | None = None,
+        timeout: float = 10.0,
+        keepalive_interval: float = 1.0,
+    ):
+        self.host, self.port = host, port
+        self.user, self.dbname, self.password = user, dbname, password
+        self.timeout = timeout
+        # reference pins a 1 s standby deadline (pkg/waljs/waljs.go:80):
+        # send an unsolicited status at least this often
+        self.keepalive_interval = keepalive_interval
+        self._sock: socket.socket | None = None
+        self._buf = b""
+        self._stopping = False
+
+    # -- transport ---------------------------------------------------
+    def connect(self) -> None:
+        self._sock = socket.create_connection(
+            (self.host, self.port), timeout=self.timeout
+        )
+        self._send_raw(
+            _startup_payload(
+                {
+                    "user": self.user,
+                    "database": self.dbname,
+                    # the magic words: puts the session in walsender mode
+                    "replication": "database",
+                }
+            )
+        )
+        while True:
+            tag, body = self._recv_msg()
+            if tag == b"R":
+                (code,) = struct.unpack_from(">i", body, 0)
+                if code == 0:
+                    continue  # AuthenticationOk
+                if code == 3:  # cleartext password
+                    if self.password is None:
+                        raise ReplicationError(
+                            "server requests a password; none configured"
+                        )
+                    self._send_raw(
+                        _msg(b"p", self.password.encode() + b"\x00")
+                    )
+                    continue
+                raise ReplicationError(
+                    f"unsupported auth method {code} (trust/cleartext "
+                    "only — front SCRAM/TLS with a proxy or psycopg2)"
+                )
+            elif tag in (b"S", b"K", b"N"):  # params / key data / notice
+                continue
+            elif tag == b"Z":  # ReadyForQuery
+                return
+            elif tag == b"E":
+                raise ReplicationError(_parse_error(body))
+            else:
+                raise ReplicationError(
+                    f"unexpected message {tag!r} during startup"
+                )
+
+    def close(self) -> None:
+        if self._sock is not None:
+            try:
+                self._send_raw(_msg(b"X", b""))  # Terminate
+            except OSError:
+                pass
+            self._sock.close()
+            self._sock = None
+
+    def stop(self) -> None:
+        """Ask the streaming loop to exit after the current frame."""
+        self._stopping = True
+
+    # -- replication -------------------------------------------------
+    def identify_system(self) -> dict[str, Any]:
+        """IDENTIFY_SYSTEM -> {systemid, timeline, xlogpos (int), dbname}."""
+        self._send_raw(_msg(b"Q", b"IDENTIFY_SYSTEM\x00"))
+        cols: list[str] = []
+        row: list[Any] = []
+        while True:
+            tag, body = self._recv_msg()
+            if tag == b"T":  # RowDescription
+                (n,) = struct.unpack_from(">h", body, 0)
+                pos = 2
+                for _ in range(n):
+                    end = body.index(b"\x00", pos)
+                    cols.append(body[pos:end].decode())
+                    pos = end + 1 + 18  # fixed per-field trailer
+            elif tag == b"D":  # DataRow
+                (n,) = struct.unpack_from(">h", body, 0)
+                pos = 2
+                for _ in range(n):
+                    (ln,) = struct.unpack_from(">i", body, pos)
+                    pos += 4
+                    if ln < 0:
+                        row.append(None)
+                    else:
+                        row.append(body[pos : pos + ln].decode())
+                        pos += ln
+            elif tag == b"Z":
+                out = dict(zip(cols, row))
+                if "xlogpos" in out and out["xlogpos"]:
+                    out["xlogpos"] = parse_lsn(out["xlogpos"])
+                return out
+            elif tag == b"E":
+                raise ReplicationError(_parse_error(body))
+            elif tag == b"C":  # CommandComplete
+                continue
+
+    def start_replication(
+        self,
+        slot: str,
+        start_lsn: int,
+        options: dict[str, str] | None = None,
+    ) -> Iterator[tuple[int, bytes]]:
+        """START_REPLICATION; yields (wal_start, payload) per XLogData.
+
+        Keepalives are handled inside the generator: a reply-requested
+        keepalive (and a quiet period longer than ``keepalive_interval``)
+        triggers a standby-status update carrying ``self.flush_lsn`` —
+        set by the caller after durable flushes (the two-level
+        durability contract in wal_adapter.py). The generator exits on
+        CopyDone/stream end or after :meth:`stop`."""
+        opts = ""
+        if options:
+            inner = ", ".join(
+                f"\"{k}\" '{v}'" for k, v in options.items()
+            )
+            opts = f" ({inner})"
+        q = (
+            f"START_REPLICATION SLOT \"{slot}\" LOGICAL "
+            f"{lsn_str(start_lsn)}{opts}"
+        )
+        self._send_raw(_msg(b"Q", q.encode() + b"\x00"))
+        tag, body = self._recv_msg()
+        if tag == b"E":
+            raise ReplicationError(_parse_error(body))
+        if tag != b"W":
+            raise ReplicationError(
+                f"expected CopyBothResponse, got {tag!r}"
+            )
+        # streaming phase: wake at the keepalive cadence so unsolicited
+        # status updates go out even when the server is quiet (reference
+        # standby deadline, pkg/waljs/waljs.go:80)
+        assert self._sock is not None
+        self._sock.settimeout(self.keepalive_interval)
+        self.flush_lsn = start_lsn
+        last_status = time.monotonic()
+        while not self._stopping:
+            try:
+                tag, body = self._recv_msg()
+            except socket.timeout:
+                self._send_status()
+                last_status = time.monotonic()
+                continue
+            if tag == b"d":  # CopyData
+                kind = body[:1]
+                if kind == b"w":
+                    wal_start, _wal_end, _ts = struct.unpack_from(
+                        ">qqq", body, 1
+                    )
+                    yield wal_start, body[25:]
+                elif kind == b"k":
+                    _wal_end, _ts, reply = struct.unpack_from(
+                        ">qqb", body, 1
+                    )
+                    if reply:
+                        self._send_status()
+                        last_status = time.monotonic()
+                else:  # pragma: no cover - unknown copy subprotocol
+                    raise ReplicationError(
+                        f"unknown CopyData kind {kind!r}"
+                    )
+            elif tag == b"c":  # CopyDone — server ends the stream
+                return
+            elif tag == b"E":
+                raise ReplicationError(_parse_error(body))
+            elif tag in (b"C", b"Z", b"N"):
+                continue
+            if time.monotonic() - last_status >= self.keepalive_interval:
+                self._send_status()
+                last_status = time.monotonic()
+
+    def run(
+        self,
+        feed: PgOutputFeed,
+        slot: str,
+        publication: str,
+        batch_rows: int = 10_000,
+        start_lsn: int | None = None,
+        on_flush: Callable[[str | None, int | None], None] | None = None,
+    ) -> None:
+        """The full reference loop: tail the slot through ``feed``
+        (decode → durable chunks), flush every ``batch_rows`` buffered
+        rows, and acknowledge ONLY the durable ``ackable_lsn`` after
+        each flush. Resumes from the feed's own durable max when
+        ``start_lsn`` is not given. Batch size default matches the
+        reference's ``--batch`` default (protocol/root.go:78)."""
+        resume = (
+            start_lsn
+            if start_lsn is not None
+            else (feed.writer.resume_lsn() or 0)
+        )
+        options = {
+            "proto_version": "1",
+            "publication_names": publication,
+        }
+        try:
+            for wal_start, payload in self.start_replication(
+                slot, resume, options
+            ):
+                feed.on_xlog_data(wal_start, payload)
+                if feed.writer.pending_rows >= batch_rows:
+                    path = feed.writer.flush()
+                    ack = feed.writer.ackable_lsn()
+                    if ack is not None:
+                        self.flush_lsn = ack
+                        self._send_status()
+                    if on_flush is not None:
+                        on_flush(path, ack)
+        finally:
+            path = feed.writer.flush()
+            ack = feed.writer.ackable_lsn()
+            if ack is not None:
+                self.flush_lsn = ack
+                try:
+                    self._send_status()
+                except OSError:
+                    pass
+            if on_flush is not None and path is not None:
+                on_flush(path, ack)
+
+    # -- internals ---------------------------------------------------
+    def _send_status(self) -> None:
+        """Standby status update: received/flushed/applied all report the
+        durable flush LSN (+1 per the convention that the reported
+        position is the next byte expected), client clock in pg-epoch
+        microseconds, no reply requested."""
+        now_us = int(time.time() * 1000 - PG_EPOCH_MS) * 1000
+        body = b"r" + struct.pack(
+            ">qqqqb",
+            self.flush_lsn + 1,
+            self.flush_lsn + 1,
+            self.flush_lsn + 1,
+            now_us,
+            0,
+        )
+        self._send_raw(_msg(b"d", body))
+
+    def _send_raw(self, data: bytes) -> None:
+        assert self._sock is not None, "connect() first"
+        self._sock.sendall(data)
+
+    def _recv_msg(self) -> tuple[bytes, bytes]:
+        """One backend message: (tag, body). Timeout-safe: nothing is
+        consumed from the buffer until the WHOLE message is present, so
+        a ``socket.timeout`` mid-message never desyncs the framing (the
+        partial bytes wait in ``_buf`` for the next call)."""
+        assert self._sock is not None, "connect() first"
+        while True:
+            if len(self._buf) >= 5:
+                tag = self._buf[:1]
+                (ln,) = struct.unpack(">i", self._buf[1:5])
+                total = 1 + ln  # tag byte + ln (which counts itself)
+                if len(self._buf) >= total:
+                    body = self._buf[5:total]
+                    self._buf = self._buf[total:]
+                    return tag, body
+            chunk = self._sock.recv(65536)  # may raise timeout; buf intact
+            if not chunk:
+                raise ReplicationError("server closed the connection")
+            self._buf += chunk
