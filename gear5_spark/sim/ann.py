@@ -166,6 +166,41 @@ def _table_buckets(
     ).select(out_id, F.col("tb.tbl").alias("tbl"), F.col("tb.bkt").alias("bkt"))
 
 
+def _confirm_cosine_pairs(
+    emb: DataFrame,
+    cand: DataFrame,
+    threshold: float,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Exact-cosine confirm over a (doc_id_a, doc_id_b, star) candidate
+    set: joins both vectors (norms once per row), keeps pairs with
+    cosine >= ``threshold`` OR marked star (connectivity contract —
+    text/dedupe._banded_pairs). Shared by every embedding-candidate
+    generator so the star-edge exemption rule lives in ONE place.
+    Output: (doc_id_a, doc_id_b, cosine, star)."""
+    va = emb.select(
+        F.col(id_col).alias("doc_id_a"),
+        F.col(vec_col).alias("_va"),
+        _norm(F.col(vec_col)).alias("_na"),
+    )
+    vb = emb.select(
+        F.col(id_col).alias("doc_id_b"),
+        F.col(vec_col).alias("_vb"),
+        _norm(F.col(vec_col)).alias("_nb"),
+    )
+    return (
+        cand.join(va, "doc_id_a")
+        .join(vb, "doc_id_b")
+        .withColumn(
+            "cosine",
+            _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")),
+        )
+        .filter((F.col("cosine") >= threshold) | F.col("star"))
+        .select("doc_id_a", "doc_id_b", "cosine", "star")
+    )
+
+
 def embedding_near_duplicates(
     emb: DataFrame,
     threshold: float = 0.9,
@@ -200,31 +235,11 @@ def embedding_near_duplicates(
         emb, id_col, "doc_id", n_planes, n_tables, dim, vec_col, seed=7
     ).withColumnsRenamed({"tbl": "band", "bkt": "bucket"})
     cand = _banded_pairs(banded, max_bucket_size, mark_star=True)
-    va = emb.select(
-        F.col(id_col).alias("doc_id_a"),
-        F.col(vec_col).alias("_va"),
-        _norm(F.col(vec_col)).alias("_na"),
-    )
-    vb = emb.select(
-        F.col(id_col).alias("doc_id_b"),
-        F.col(vec_col).alias("_vb"),
-        _norm(F.col(vec_col)).alias("_nb"),
-    )
-    return (
-        cand.join(va, "doc_id_a")
-        .join(vb, "doc_id_b")
-        .withColumn(
-            "cosine",
-            _dot(F.col("_va"), F.col("_vb"))
-            / (F.col("_na") * F.col("_nb")),
-        )
-        .filter((F.col("cosine") >= threshold) | F.col("star"))
-        .select(
-            F.col("doc_id_a").alias("vec_id_a"),
-            F.col("doc_id_b").alias("vec_id_b"),
-            F.round("cosine", 6).alias("cosine"),
-            "star",
-        )
+    return _confirm_cosine_pairs(emb, cand, threshold, vec_col, id_col).select(
+        F.col("doc_id_a").alias("vec_id_a"),
+        F.col("doc_id_b").alias("vec_id_b"),
+        F.round("cosine", 6).alias("cosine"),
+        "star",
     )
 
 
@@ -435,7 +450,11 @@ def semantic_dedup(
     cluster_size, is_canonical) for every vector in a multi-member
     semantic-duplicate group — same shape as ``dedup_clusters``, so
     downstream keep/drop logic is shared."""
-    from gear5_spark.text.dedupe import _banded_pairs, connected_components
+    from gear5_spark.text.dedupe import (
+        _banded_pairs,
+        cluster_labels_output,
+        connected_components,
+    )
 
     cents = centroids or ivf_centroids(emb, n_clusters, vec_col, id_col)
     banded = emb.select(
@@ -446,40 +465,13 @@ def semantic_dedup(
         ),
     )
     cand = _banded_pairs(banded, max_cluster_size, mark_star=True)
-    va = emb.select(
-        F.col(id_col).alias("doc_id_a"),
-        F.col(vec_col).alias("_va"),
-        _norm(F.col(vec_col)).alias("_na"),
-    )
-    vb = emb.select(
-        F.col(id_col).alias("doc_id_b"),
-        F.col(vec_col).alias("_vb"),
-        _norm(F.col(vec_col)).alias("_nb"),
-    )
-    edges = (
-        cand.join(va, "doc_id_a")
-        .join(vb, "doc_id_b")
-        .withColumn(
-            "cosine",
-            _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")),
-        )
-        .filter((F.col("cosine") >= threshold) | F.col("star"))
-        .select("doc_id_a", "doc_id_b")
-    )
+    edges = _confirm_cosine_pairs(
+        emb, cand, threshold, vec_col, id_col
+    ).select("doc_id_a", "doc_id_b")
     labels = connected_components(
         edges, "doc_id_a", "doc_id_b", max_iterations
     )
-    return labels.select(
-        F.col("node").alias(id_col),
-        F.col("label").alias("cluster_id"),
-    ).select(
-        id_col,
-        "cluster_id",
-        F.count(F.lit(1))
-        .over(W.partitionBy("cluster_id"))
-        .alias("cluster_size"),
-        (F.col(id_col) == F.col("cluster_id")).alias("is_canonical"),
-    )
+    return cluster_labels_output(labels, id_col)
 
 
 def lsh_cosine_topk(

@@ -127,6 +127,11 @@ class ReplicationClient:
 
     # -- transport ---------------------------------------------------
     def connect(self) -> None:
+        # a reconnect after stop()/close() starts a fresh session: stale
+        # stop flags or buffered bytes from the old socket must not
+        # leak into (and silently stall or desync) the new stream
+        self._stopping = False
+        self._buf = b""
         self._sock = socket.create_connection(
             (self.host, self.port), timeout=self.timeout
         )
@@ -233,14 +238,20 @@ class ReplicationClient:
         set by the caller after durable flushes (the two-level
         durability contract in wal_adapter.py). The generator exits on
         CopyDone/stream end or after :meth:`stop`."""
+        def _ident(s: str) -> str:  # embedded " doubles inside "..."
+            return '"' + s.replace('"', '""') + '"'
+
+        def _lit(s: str) -> str:  # embedded ' doubles inside '...'
+            return "'" + s.replace("'", "''") + "'"
+
         opts = ""
         if options:
             inner = ", ".join(
-                f"\"{k}\" '{v}'" for k, v in options.items()
+                f"{_ident(k)} {_lit(v)}" for k, v in options.items()
             )
             opts = f" ({inner})"
         q = (
-            f"START_REPLICATION SLOT \"{slot}\" LOGICAL "
+            f"START_REPLICATION SLOT {_ident(slot)} LOGICAL "
             f"{lsn_str(start_lsn)}{opts}"
         )
         self._send_raw(_msg(b"Q", q.encode() + b"\x00"))

@@ -139,9 +139,9 @@ def _decode_tuple(r: _Reader) -> list[Any]:
         elif kind == ord("t"):
             out.append(r.take(r.i32()).decode("utf-8"))
         elif kind == ord("b"):
-            # binary-mode values (proto >= 2 with binary option): keep
-            # raw bytes; the engine's normalize layer treats them as
-            # opaque binary (F7 policy)
+            # binary-mode values (proto >= 2 with binary option): raw
+            # bytes here; _convert renders them as wal2json's bytea hex
+            # form so after_json stays JSON-serializable
             out.append(r.take(r.i32()))
         else:  # pragma: no cover - protocol violation
             raise ValueError(f"unknown TupleData kind {chr(kind)!r}")
@@ -150,7 +150,13 @@ def _decode_tuple(r: _Reader) -> list[Any]:
 
 def _convert(value: Any, oid: int) -> Any:
     """Text wire value -> JSON-native value by type OID (wal2json parity)."""
-    if value is None or value is _UNCHANGED or isinstance(value, bytes):
+    if isinstance(value, bytes):
+        # binary-mode values (proto >= 2 binary option): render as the
+        # bytea hex form wal2json emits ('\\x...') so the value stays
+        # JSON-serializable in after_json (raw bytes would crash
+        # json.dumps downstream) and both wire formats agree
+        return "\\x" + value.hex()
+    if value is None or value is _UNCHANGED:
         return value
     if oid in _OID_BOOL:
         return value == "t"
@@ -282,7 +288,13 @@ class PgOutputDecoder:
         if marker not in (ord("K"), ord("O")):
             raise ValueError("Delete without key/old-tuple marker")
         old = _decode_tuple(r)
-        self._append_change(rel, "delete", new=None, old=old)
+        # 'O' = REPLICA IDENTITY FULL old image: keep genuinely-NULL
+        # non-key columns in oldkeys (wal2json parity) instead of
+        # mistaking them for 'K'-tuple padding
+        self._append_change(
+            rel, "delete", new=None, old=old,
+            old_is_full=marker == ord("O"),
+        )
         return None
 
     def _msg_truncate(self, r: _Reader) -> None:
@@ -399,7 +411,11 @@ class PgOutputFeed:
         """Feed one frame; returns rows buffered (not yet durable)."""
         env = self.decoder.decode(payload)
         if env is not None:
-            lsn = env.pop("commit_lsn", None) or wal_start_lsn
+            # explicit None check: a (legal) commit_lsn of 0 must not
+            # silently fall back to the frame LSN
+            lsn = env.pop("commit_lsn", None)
+            if lsn is None:
+                lsn = wal_start_lsn
             self.writer.on_message(lsn, env)
         return self.writer.pending_rows
 

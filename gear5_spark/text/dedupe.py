@@ -568,16 +568,26 @@ def dedup_clusters(
     labels = connected_components(
         pairs, "doc_id_a", "doc_id_b", max_iterations
     )
+    return cluster_labels_output(labels, "doc_id")
+
+
+def cluster_labels_output(labels: DataFrame, id_alias: str) -> DataFrame:
+    """(node, label) component labels -> the keep-one-per-cluster shape
+    shared by ``dedup_clusters`` and ``sim.ann.semantic_dedup``:
+    (id_alias, cluster_id, cluster_size, is_canonical) with the min-id
+    member canonical."""
+    from pyspark.sql import Window as W
+
     return labels.select(
-        F.col("node").alias("doc_id"),
+        F.col("node").alias(id_alias),
         F.col("label").alias("cluster_id"),
     ).select(
-        "doc_id",
+        id_alias,
         "cluster_id",
         F.count(F.lit(1))
         .over(W.partitionBy("cluster_id"))
         .alias("cluster_size"),
-        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+        (F.col(id_alias) == F.col("cluster_id")).alias("is_canonical"),
     )
 
 
