@@ -1200,17 +1200,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": _q_snapshot_diff,
         "media_features": _q_media_features,
         "media_dedup": _q_media_dedup,
-        "conversation_render": _q_conversation_render,
+        "semantic_dedup": _q_semantic_dedup,
         "incremental_lsh_dedup": _q_incremental_lsh_dedup,
         "sessionize": _q_sessionize,
         # --- tail: >50th position, ungraded by the driver this round;
         # locally oracle-verified every round by scripts/check_oracle.py.
-        # All but semantic_dedup have 2+ rounds of green driver history
-        # (r2+r3); embedding_norm rotated out r4 to give the NEW
-        # stream_incremental_dedup entry a driver row. semantic_dedup is
-        # new late-r4 (exact oracle) — rotate it into the first 50 next
-        # round in place of another proven scalar entry ---
-        "semantic_dedup": _q_semantic_dedup,
+        # Every tail entry has 2+ rounds of green driver history (r2+r3);
+        # conversation_render rotated out r4 to give the NEW
+        # semantic_dedup entry (exact oracle) a driver row ---
+        "conversation_render": _q_conversation_render,
         "embedding_norm": _q_embedding_norm,
         "conversation_stats": _q_conversation_stats,
         "recency_filter": _q_recency_filter,
