@@ -16,6 +16,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from gear5_spark.parallel import fan_out
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -56,6 +58,7 @@ def cosine_topk(
     # candidate pair — at k candidates/query that saves ~2/3 of the
     # arithmetic; the value is bit-identical (same expression, same
     # operand order)
+    emb = fan_out(emb)
     q = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
@@ -84,13 +87,13 @@ def cosine_topk(
     )
 
 
-def _hyperplane(dim, plane: int, seed: int = 7):
+def _hyperplane(dim: int, plane: int, seed: int = 7):
     """Deterministic pseudo-random hyperplane: component j of plane p is
-    a signed value derived from xxhash64(p, j, seed) — uniform in [-1,1).
-    ``dim`` may be a Column (the row's own vector length)."""
-    end = F.lit(dim - 1) if isinstance(dim, int) else (dim - F.lit(1))
+    a signed value derived from xxhash64(p, j, seed) — uniform in
+    [-1,1). Evaluated ONCE per (plane, seed) by
+    :func:`_hyperplane_literals`, never per row."""
     return F.transform(
-        F.sequence(F.lit(0), end),
+        F.sequence(F.lit(0), F.lit(dim - 1)),
         lambda j: (
             F.xxhash64(F.lit(plane), j, F.lit(seed)).cast("double")
             / F.lit(float(1 << 63))
@@ -98,27 +101,83 @@ def _hyperplane(dim, plane: int, seed: int = 7):
     )
 
 
-def _bucket_expr(vec_col: str, n_planes: int, dim: int, seed: int):
+_PLANE_CACHE: dict[tuple[int, int, int], list[list[float]]] = {}
+
+
+def _hyperplane_literals(
+    spark, n_planes: int, dim: int, seed: int
+) -> list[list[float]]:
+    """The xxhash64-derived hyperplanes as driver-side float lists —
+    one scalar Spark job per distinct (n_planes, dim, seed), memoized.
+
+    The planes are constants, but Catalyst does not constant-fold
+    higher-order functions, so inlining :func:`_hyperplane` in the
+    bucket expression regenerated every array PER ROW (n_planes × dim
+    xxhash64 calls + allocations on the interpreted path — the dominant
+    cost of bucket assignment, ~10 ms/row at 32 planes × 64 dims).
+    Materialized once, they ship to executors as literal arrays — the
+    same O(k·dim) broadcast-quantizer shape as :func:`ivf_centroids`."""
+    prefetch_hyperplanes(spark, n_planes, dim, [seed])
+    return _PLANE_CACHE[(n_planes, dim, seed)]
+
+
+def prefetch_hyperplanes(
+    spark, n_planes: int, dim: int, seeds: list[int]
+) -> None:
+    """Evaluate the planes for every not-yet-cached seed in ONE scalar
+    job — an L-table index would otherwise pay L tiny driver jobs per
+    fresh session (one per table seed)."""
+    missing = [s for s in seeds if (n_planes, dim, s) not in _PLANE_CACHE]
+    if not missing:
+        return
+    row = (
+        spark.range(1)
+        .select(
+            F.array(
+                *[
+                    F.array(
+                        *[_hyperplane(dim, p, s) for p in range(n_planes)]
+                    )
+                    for s in missing
+                ]
+            ).alias("hp")
+        )
+        .collect()[0]
+    )
+    for s, per_seed in zip(missing, row["hp"]):
+        _PLANE_CACHE[(n_planes, dim, s)] = [
+            [float(x) for x in pl] for pl in per_seed
+        ]
+
+
+def _bucket_expr(vec_col: str, n_planes: int, dim: int, seed: int, spark):
     """Sign-LSH bucket id as a pure Column: bit p = sign(v . h_p).
 
-    The hyperplane is generated to the ROW's own vector length (not the
-    ``dim`` parameter): zip_with pads a length mismatch with NULLs,
-    which would silently NULL every dot product and collapse all
-    vectors into bucket 0 — with per-row sizing, a stale ``dim`` cannot
-    degrade the index (rows of equal length always hash identically)."""
-    bits = [
-        F.when(
-            _dot(
-                F.col(vec_col),
-                _hyperplane(F.size(F.col(vec_col)), p, seed),
-            )
-            >= 0,
-            F.lit(1 << p),
+    Planes are literal arrays of length ``dim``
+    (:func:`_hyperplane_literals`). A row whose vector length differs
+    from ``dim`` hashes by its first min(len, dim) components — both
+    sides sliced to that length, so a mismatch can never NULL-pad
+    zip_with and collapse every vector into bucket 0, and rows of equal
+    length always hash identically (same guarantees as the former
+    per-row-sized generation, at literal-array cost). The equal-length
+    fast path skips the slices entirely."""
+    vec = F.col(vec_col)
+    bits = []
+    for p, comps in enumerate(
+        _hyperplane_literals(spark, n_planes, dim, seed)
+    ):
+        plane = F.array(*[F.lit(c) for c in comps])
+        n = F.least(F.size(vec), F.lit(dim))
+        guarded_dot = F.when(
+            F.size(vec) == dim, _dot(vec, plane)
+        ).otherwise(
+            _dot(F.slice(vec, F.lit(1), n), F.slice(plane, F.lit(1), n))
         )
-        .otherwise(F.lit(0))
-        .cast("long")
-        for p in range(n_planes)
-    ]
+        bits.append(
+            F.when(guarded_dot >= 0, F.lit(1 << p))
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
     bucket = bits[0]
     for b in bits[1:]:
         bucket = bucket.bitwiseOR(b)
@@ -134,9 +193,13 @@ def sign_lsh_buckets(
 ) -> DataFrame:
     """Random-hyperplane (sign) LSH bucket id per vector: bit p of the
     bucket = sign(v . h_p). Cosine-similar vectors collide with high
-    probability."""
+    probability. Narrow inputs fan out first — the n_planes×dim
+    projection per row is the CPU-dense stage and must not serialize on
+    a one-split scan (no-op at corpus scale)."""
+    emb = fan_out(emb)
     return emb.withColumn(
-        "lsh_bucket", _bucket_expr(vec_col, n_planes, dim, seed)
+        "lsh_bucket",
+        _bucket_expr(vec_col, n_planes, dim, seed, emb.sparkSession),
     )
 
 
@@ -154,14 +217,22 @@ def _table_buckets(
     (OR-amplification): table t draws its hyperplanes from a disjoint
     seed stream, so a true neighbor missed by one table is caught by
     another — the standard LSH recall/candidate-count dial."""
+    prefetch_hyperplanes(
+        emb.sparkSession,
+        n_planes,
+        dim,
+        [seed + 7919 * t for t in range(n_tables)],
+    )
     tables = [
         F.struct(
             F.lit(t).alias("tbl"),
-            _bucket_expr(vec_col, n_planes, dim, seed + 7919 * t).alias("bkt"),
+            _bucket_expr(
+                vec_col, n_planes, dim, seed + 7919 * t, emb.sparkSession
+            ).alias("bkt"),
         )
         for t in range(n_tables)
     ]
-    return emb.select(
+    return fan_out(emb).select(
         F.col(id_col).alias(out_id), F.explode(F.array(*tables)).alias("tb")
     ).select(out_id, F.col("tb.tbl").alias("tbl"), F.col("tb.bkt").alias("bkt"))
 
@@ -178,7 +249,20 @@ def _confirm_cosine_pairs(
     cosine >= ``threshold`` OR marked star (connectivity contract —
     text/dedupe._banded_pairs). Shared by every embedding-candidate
     generator so the star-edge exemption rule lives in ONE place.
-    Output: (doc_id_a, doc_id_b, cosine, star)."""
+    Output: (doc_id_a, doc_id_b, cosine, star).
+
+    The candidate set is explicitly spread to the session's default
+    parallelism before the vector joins: pair rows are a few bytes but
+    each costs a dim-length dot product downstream, so AQE's byte-based
+    coalescing would pack millions of them into a couple of tasks and
+    serialize the confirm (observed 4 tasks for a 2M-pair set). An
+    explicit repartition of skinny (id, id, bool) rows is cheap relative
+    to the dots and pins the CPU-bound stage at full width; pair count
+    exceeds core count at every scale, so this never over-partitions."""
+    cand = cand.repartition(
+        emb.sparkSession.sparkContext.defaultParallelism
+    )
+    emb = fan_out(emb)
     va = emb.select(
         F.col(id_col).alias("doc_id_a"),
         F.col(vec_col).alias("_va"),
@@ -285,7 +369,7 @@ def kmeans_centroids(
         # two projections: the argmax expression (nested lambda
         # functions) cannot share a select with a generator — the
         # Generate rewrite strips struct field names
-        assigned = emb.select(
+        assigned = fan_out(emb).select(
             F.element_at(_top_lists(F.col(vec_col), cents, 1), 1).alias(
                 "list_id"
             ),
@@ -374,7 +458,7 @@ def ivf_cosine_topk(
     # cosine_topk) — inside the join each base vector is scored against
     # up to n_probe queries and each query against its whole candidate
     # list, so a per-pair _norm would re-walk both arrays per candidate
-    b = emb.select(
+    b = fan_out(emb).select(
         F.col(id_col).alias("b_id"),
         F.col(vec_col).alias("b_vec"),
         _norm(F.col(vec_col)).alias("_bn"),
@@ -457,7 +541,7 @@ def semantic_dedup(
     )
 
     cents = centroids or ivf_centroids(emb, n_clusters, vec_col, id_col)
-    banded = emb.select(
+    banded = fan_out(emb).select(
         F.col(id_col).alias("doc_id"),
         F.lit(0).alias("band"),
         F.element_at(_top_lists(F.col(vec_col), cents, 1), 1).alias(
@@ -528,13 +612,17 @@ def lsh_cosine_topk(
         .filter(F.col("q_id") != F.col("b_id"))
         .select("q_id", "b_id")
         .distinct()
+        # spread the skinny pair rows to full width before the
+        # CPU-bound exact-cosine scoring — AQE's byte-based coalescing
+        # would serialize it (see _confirm_cosine_pairs)
+        .repartition(emb.sparkSession.sparkContext.defaultParallelism)
     )
     qv = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
         _norm(F.col(vec_col)).alias("_qn"),
     )
-    bv = emb.select(
+    bv = fan_out(emb).select(
         F.col(id_col).alias("b_id"),
         F.col(vec_col).alias("b_vec"),
         _norm(F.col(vec_col)).alias("_bn"),

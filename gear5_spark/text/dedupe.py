@@ -89,8 +89,14 @@ def minhash_signatures(
     The hash family is ``xxhash64(shingle, k)`` by default (fastest) or
     the md5-derived family (see :func:`_shingle_hash`) when a downstream
     consumer must reproduce the signatures outside Spark. All K mins
-    are computed as independent min aggregates with map-side combine."""
-    sh = docs.select(
+    are computed as independent min aggregates with map-side combine.
+    A narrow input (fewer splits than cores) is fanned out first so the
+    K×shingle hashing — the CPU-dense stage of the whole LSH pipeline —
+    never serializes on the scan's partitioning (no-op at corpus scale,
+    where splits outnumber cores; see :mod:`gear5_spark.parallel`)."""
+    from gear5_spark.parallel import fan_out
+
+    sh = fan_out(docs).select(
         "doc_id", F.explode(shingles(F.col("text"), shingle_n)).alias("s")
     )
     # explode + groupBy keeps codegen flat (K independent min aggregates
@@ -169,6 +175,14 @@ def _banded_pairs(
     the array itself is linear in bucket size."""
     grouped = banded.groupBy("band", "bucket").agg(
         F.sort_array(F.collect_list("doc_id")).alias("ids")
+    )
+    # spread bucket groups to full width BEFORE the pair explode: the
+    # grouped rows are few and small (AQE coalesces them into one
+    # task) but each explodes into O(bucket²) pairs — without the
+    # spread the entire pair expansion runs serially. One group's
+    # explode is still atomic; the star cap bounds that at O(bucket).
+    grouped = grouped.repartition(
+        banded.sparkSession.sparkContext.defaultParallelism
     )
     all_pairs = F.expr(
         "flatten(transform(ids, (x, i) -> "
@@ -410,7 +424,19 @@ def ngram_jaccard(
             max_bucket_size=max_bucket_size,
             mark_star=True,
         )
-    sh = docs.select("doc_id", shingles(F.col("text"), shingle_n).alias("sh"))
+    from gear5_spark.parallel import fan_out
+
+    sh = fan_out(docs).select(
+        "doc_id", shingles(F.col("text"), shingle_n).alias("sh")
+    )
+    # spread the skinny candidate rows to full width before the
+    # CPU-bound exact-Jaccard scoring: AQE's byte-based coalescing
+    # packs millions of (id, id) pairs into a handful of tasks while
+    # each row costs an array intersect+union downstream (see
+    # sim.ann._confirm_cosine_pairs for the same hazard)
+    candidates = candidates.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism
+    )
     j = (
         candidates.join(
             sh.withColumnRenamed("doc_id", "doc_id_a").withColumnRenamed(
@@ -606,9 +632,13 @@ def simhash(
 
     For each bit position, sum(+1/-1 over shingles by bit) >= 0 -> bit set.
     Entirely with array/bit built-ins: aggregate over the shingle array
-    accumulating a per-bit vote vector."""
+    accumulating a per-bit vote vector. Narrow inputs are fanned out
+    ahead of the hash+vote stage (same rationale as
+    :func:`minhash_signatures`)."""
+    from gear5_spark.parallel import fan_out
+
     nbits = simhash_bits(hasher)
-    sh = docs.select(
+    sh = fan_out(docs).select(
         "doc_id", F.explode(shingles(F.col("text"), shingle_n)).alias("s")
     )
     if hasher == "xxhash64":
