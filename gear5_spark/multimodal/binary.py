@@ -103,9 +103,13 @@ def extract_features(
 ) -> DataFrame:
     """Decode + featurize every payload in Arrow batches (mapInPandas).
 
-    At scale this is the canonical GPU/CPU-heavy stage: repartition first
-    so batches spread across executors; the binary column rides Arrow
-    buffers end-to-end."""
+    At scale this is the canonical GPU/CPU-heavy stage: a narrow input
+    is fanned out first so Arrow batches spread across executors instead
+    of serializing on a one-split scan (no-op when splits ≥ cores); the
+    binary column rides Arrow buffers end-to-end."""
+    from gear5_spark.parallel import fan_out
+
+    media = fan_out(media)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -170,9 +170,11 @@ def repetition_metrics(docs: DataFrame, ngram_n: int = 5) -> DataFrame:
     sets join back on doc_id (AQE broadcasts the small sides at bench
     scale). No data-dependent blowup: every intermediate is <= the
     exploded token count."""
+    from gear5_spark.parallel import fan_out
+
     lines = F.split(F.col("text"), "\n")
     toks = tokens(F.col("text"))
-    base = docs.select(
+    base = fan_out(docs).select(
         "doc_id",
         lines.alias("_lines"),
         toks.alias("_toks"),

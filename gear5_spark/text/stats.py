@@ -34,7 +34,9 @@ def doc_token_stats(
     """Per-document lexical signals: token count, distinct-token count,
     the most frequent token's share (``repetition_ratio`` — high values
     flag degenerate/templated text), and type-token ratio."""
-    tok = docs.select(
+    from gear5_spark.parallel import fan_out
+
+    tok = fan_out(docs).select(
         F.col(id_col),
         F.explode(_tokens(F.col(text_col))).alias("token"),
     ).filter(F.col("token") != "")
