@@ -442,6 +442,12 @@ def main() -> None:
         "doc_chunks",
         "decontamination",
         "sequence_packing",
+        # round-4 additions: the semantic/embedding dedup family and the
+        # Arrow multimodal path, timed alongside the originals
+        "semantic_dedup",
+        "embedding_near_dup",
+        "media_features",
+        "sessionize",
     ]
     qs = entrymod.queries()
     for name in bench_queries:
