@@ -343,6 +343,24 @@ def _q_embedding_near_dup(spark, sf_dir):
     ).drop("star")
 
 
+def _q_embedding_near_dup_arrow(spark, sf_dir):
+    # SAME operator + parameters as embedding_near_dup, scored through
+    # the vectorized Arrow confirm (mapInPandas, one numpy einsum per
+    # batch — the no-per-row-Python scale mode for multi-million-pair
+    # confirms). Same DuckDB all-pairs oracle: a green row proves the
+    # Arrow path is value-equal (at 6-decimal rounding) to the
+    # JVM-expression path AND to the exact answer.
+    import sys as _sys
+
+    from gear5_spark.sim.ann import embedding_near_duplicates
+
+    return embedding_near_duplicates(
+        _t(spark, sf_dir, "embeddings"), threshold=0.45,
+        n_planes=2, n_tables=16, max_bucket_size=_sys.maxsize,
+        confirm_impl="arrow",
+    ).drop("star")
+
+
 def _q_column_profile(spark, sf_dir):
     # discover-style per-column statistics, one aggregation pass
     from gear5_spark.operators.profile import profile_columns
@@ -1172,7 +1190,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scan": _q_pii_scan,
         "streaming_sessionize_digest": _q_streaming_sessionize_digest,
         "exact_dedup": _q_exact_dedup,
-        "token_count": _q_token_count,
         "quality_score": _q_quality_score,
         "gopher_quality": _q_gopher_quality,
         "lang_id": _q_lang_id,
@@ -1180,6 +1197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _q_cosine_topk,
         "stream_incremental_dedup": _q_stream_incremental_dedup,
         "embedding_near_dup": _q_embedding_near_dup,
+        "embedding_near_dup_arrow": _q_embedding_near_dup_arrow,
         "column_profile": _q_column_profile,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -1205,9 +1223,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _q_sessionize,
         # --- tail: >50th position, ungraded by the driver this round;
         # locally oracle-verified every round by scripts/check_oracle.py.
-        # Every tail entry has 2+ rounds of green driver history (r2+r3);
-        # conversation_render rotated out r4 to give the NEW
-        # semantic_dedup entry (exact oracle) a driver row ---
+        # Every tail entry has 2+ rounds of green driver history
+        # (r2+r3); conversation_render and token_count rotated out r4
+        # to give the NEW semantic_dedup and embedding_near_dup_arrow
+        # entries (exact oracles) driver rows ---
+        "token_count": _q_token_count,
         "conversation_render": _q_conversation_render,
         "embedding_norm": _q_embedding_norm,
         "conversation_stats": _q_conversation_stats,
@@ -1445,6 +1465,17 @@ def oracle_sql() -> dict[str, str]:
             "'sum')), 6) AS l2_norm FROM embeddings"
         ),
         "embedding_near_dup": (
+            "WITH v AS (SELECT vec_id, "
+            "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec "
+            "FROM embeddings) "
+            "SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b, "
+            "round(list_cosine_similarity(a.vec, b.vec), 6) AS cosine "
+            "FROM v a, v b WHERE a.vec_id < b.vec_id "
+            "AND list_cosine_similarity(a.vec, b.vec) >= 0.45"
+        ),
+        # the Arrow-confirm mode must produce the IDENTICAL pair set and
+        # 6-decimal cosines — same exact all-pairs oracle
+        "embedding_near_dup_arrow": (
             "WITH v AS (SELECT vec_id, "
             "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec "
             "FROM embeddings) "

@@ -243,6 +243,7 @@ def _confirm_cosine_pairs(
     threshold: float,
     vec_col: str,
     id_col: str,
+    impl: str = "sql",
 ) -> DataFrame:
     """Exact-cosine confirm over a (doc_id_a, doc_id_b, star) candidate
     set: joins both vectors (norms once per row), keeps pairs with
@@ -258,30 +259,87 @@ def _confirm_cosine_pairs(
     serialize the confirm (observed 4 tasks for a 2M-pair set). An
     explicit repartition of skinny (id, id, bool) rows is cheap relative
     to the dots and pins the CPU-bound stage at full width; pair count
-    exceeds core count at every scale, so this never over-partitions."""
+    exceeds core count at every scale, so this never over-partitions.
+
+    ``impl``: ``"sql"`` (default) scores with JVM array expressions and
+    is the bit-reproducible mode the correctness oracles compare
+    against. ``"arrow"`` scores each Arrow batch with one numpy matmul
+    (:func:`_arrow_cosine_confirm`) — the vectorized-pandas-UDF scale
+    path for multi-million-pair confirms, ~order-of-magnitude less CPU
+    per pair, equal to the SQL mode within float summation order (same
+    pairs at any threshold that is not an exact cosine boundary)."""
     cand = cand.repartition(
         emb.sparkSession.sparkContext.defaultParallelism
     )
     emb = fan_out(emb)
+    with_norm = impl != "arrow"  # arrow mode norms inside the batch
     va = emb.select(
         F.col(id_col).alias("doc_id_a"),
         F.col(vec_col).alias("_va"),
-        _norm(F.col(vec_col)).alias("_na"),
+        *([_norm(F.col(vec_col)).alias("_na")] if with_norm else []),
     )
     vb = emb.select(
         F.col(id_col).alias("doc_id_b"),
         F.col(vec_col).alias("_vb"),
-        _norm(F.col(vec_col)).alias("_nb"),
+        *([_norm(F.col(vec_col)).alias("_nb")] if with_norm else []),
     )
+    joined = cand.join(va, "doc_id_a").join(vb, "doc_id_b")
+    if impl == "arrow":
+        return _arrow_cosine_confirm(joined, threshold)
+    if impl != "sql":
+        raise ValueError(f"unknown confirm impl {impl!r}")
     return (
-        cand.join(va, "doc_id_a")
-        .join(vb, "doc_id_b")
-        .withColumn(
+        joined.withColumn(
             "cosine",
             _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")),
         )
         .filter((F.col("cosine") >= threshold) | F.col("star"))
         .select("doc_id_a", "doc_id_b", "cosine", "star")
+    )
+
+
+def _arrow_cosine_confirm(joined: DataFrame, threshold: float) -> DataFrame:
+    """Batch-vectorized cosine confirm: one numpy einsum per Arrow batch
+    (no per-row Python — the whole batch is two (n, dim) float64
+    matrices). Pairs whose two vectors differ in length cannot stack;
+    they score NaN, which fails every threshold — the same keep/drop
+    outcome as the SQL mode's NULL-padded zip_with (star rows still
+    pass, as connectivity edges must)."""
+    import numpy as np
+    import pandas as pd
+
+    def score(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            la = np.fromiter((len(v) for v in pdf["_va"]), dtype=np.int64, count=n)
+            lb = np.fromiter((len(v) for v in pdf["_vb"]), dtype=np.int64, count=n)
+            cos = np.full(n, np.nan)
+            ok = la == lb
+            # stack per distinct dim so ragged batches still vectorize
+            for d in np.unique(la[ok]):
+                m = ok & (la == d) & (lb == d)
+                A = np.stack(pdf["_va"][m].to_numpy()).astype(np.float64)
+                B = np.stack(pdf["_vb"][m].to_numpy()).astype(np.float64)
+                num = np.einsum("ij,ij->i", A, B)
+                den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+                cos[m] = num / den
+            star = pdf["star"].to_numpy(dtype=bool)
+            keep = star | (cos >= threshold)  # NaN >= t is False
+            out = pd.DataFrame(
+                {
+                    "doc_id_a": pdf["doc_id_a"][keep],
+                    "doc_id_b": pdf["doc_id_b"][keep],
+                    "cosine": cos[keep],
+                    "star": star[keep],
+                }
+            )
+            yield out
+
+    return joined.mapInPandas(
+        score,
+        schema="doc_id_a long, doc_id_b long, cosine double, star boolean",
     )
 
 
@@ -294,6 +352,7 @@ def embedding_near_duplicates(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     max_bucket_size: int = 1000,
+    confirm_impl: str = "sql",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: multi-table sign-LSH
     proposes candidates (bucket equi-join, hot buckets star-capped via
@@ -319,7 +378,9 @@ def embedding_near_duplicates(
         emb, id_col, "doc_id", n_planes, n_tables, dim, vec_col, seed=7
     ).withColumnsRenamed({"tbl": "band", "bkt": "bucket"})
     cand = _banded_pairs(banded, max_bucket_size, mark_star=True)
-    return _confirm_cosine_pairs(emb, cand, threshold, vec_col, id_col).select(
+    return _confirm_cosine_pairs(
+        emb, cand, threshold, vec_col, id_col, impl=confirm_impl
+    ).select(
         F.col("doc_id_a").alias("vec_id_a"),
         F.col("doc_id_b").alias("vec_id_b"),
         F.round("cosine", 6).alias("cosine"),
@@ -507,6 +568,7 @@ def semantic_dedup(
     max_cluster_size: int = 1000,
     max_iterations: int = 25,
     centroids: list[tuple[int, list[float]]] | None = None,
+    confirm_impl: str = "sql",
 ) -> DataFrame:
     """SemDeDup-style semantic near-duplicate clustering (Abbas et al.
     2023, "SemDeDup"): partition the corpus into ``n_clusters`` coarse
@@ -550,7 +612,7 @@ def semantic_dedup(
     )
     cand = _banded_pairs(banded, max_cluster_size, mark_star=True)
     edges = _confirm_cosine_pairs(
-        emb, cand, threshold, vec_col, id_col
+        emb, cand, threshold, vec_col, id_col, impl=confirm_impl
     ).select("doc_id_a", "doc_id_b")
     labels = connected_components(
         edges, "doc_id_a", "doc_id_b", max_iterations

@@ -259,3 +259,49 @@ def test_embedding_near_dup_star_cap_preserves_connectivity(spark):
         if label.get(a, a) != label.get(b, b)
     ]
     assert not split, f"star cap disconnected mutually-similar pairs: {split}"
+
+
+def test_arrow_confirm_matches_sql_mode(spark):
+    """confirm_impl='arrow' (mapInPandas numpy einsum) must produce the
+    SAME pair set, star markers, and 6-decimal cosines as the default
+    JVM-expression mode — including ragged vectors (length mismatch
+    scores NaN in arrow / NULL in SQL: dropped either way unless star)
+    and degraded-bucket star edges (kept in both)."""
+    import sys
+
+    import numpy as np
+
+    from gear5_spark.sim.ann import embedding_near_duplicates
+
+    rng = np.random.RandomState(3)
+    rows = [(i, [float(x) for x in rng.uniform(-1, 1, 8)]) for i in range(40)]
+    # near-duplicate pair + a ragged vector that can't stack with dim 8
+    rows.append((100, [x * 1.001 for x in rows[0][1]]))
+    rows.append((101, [1.0, 2.0, 3.0]))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    kw = dict(threshold=0.6, n_planes=2, n_tables=4, dim=8)
+
+    def _canon_cos(c):
+        # NULL (SQL length-mismatch) and NaN (arrow) are the same
+        # 'unscorable' marker on a star connectivity edge
+        return None if c is None or c != c else round(c, 6)
+
+    for cap in (sys.maxsize, 6):  # uncapped AND star-degraded buckets
+        sql_rows = {
+            (r.vec_id_a, r.vec_id_b, _canon_cos(r.cosine), r.star)
+            for r in embedding_near_duplicates(
+                emb, max_bucket_size=cap, confirm_impl="sql", **kw
+            ).collect()
+        }
+        arrow_rows = {
+            (r.vec_id_a, r.vec_id_b, _canon_cos(r.cosine), r.star)
+            for r in embedding_near_duplicates(
+                emb, max_bucket_size=cap, confirm_impl="arrow", **kw
+            ).collect()
+        }
+        assert sql_rows == arrow_rows
+        assert sql_rows  # non-vacuous: the seeded near-dup pair exists
+    with pytest.raises(ValueError):
+        embedding_near_duplicates(emb, confirm_impl="simd", **kw).collect()
