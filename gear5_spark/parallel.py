@@ -14,14 +14,34 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+# logical operators whose presence means the plan contains
+# compute-bearing exchanges — probing .rdd there would EXECUTE the
+# upstream stages under AQE (AdaptiveSparkPlanExec materializes every
+# non-final query stage to plan the final one), doing the heaviest
+# work twice. Such plans already carry shuffle-partition width, so the
+# narrow-scan guard has nothing to fix anyway. Plain Repartition /
+# coalesce nodes are NOT listed: they are cheap to probe and a
+# coalesced scan is exactly the narrow shape the guard exists for.
+_WIDE_OPS = (
+    "Join", "Aggregate", "Window", "Distinct", "Deduplicate",
+    "Sort", "GlobalLimit", "Intersect", "Except",
+)
 
-def fan_out(df: DataFrame, min_factor: float = 1.0) -> DataFrame:
+
+def _is_narrow_scan_plan(df: DataFrame) -> bool:
+    plan = df._jdf.queryExecution().analyzed().toString()
+    return not any(op in plan for op in _WIDE_OPS)
+
+
+def fan_out(df: DataFrame) -> DataFrame:
     """Round-robin repartition ``df`` up to the session's default
-    parallelism — but ONLY when its current partition count is below
-    ``min_factor``× that. The repartition moves just the narrow input
+    parallelism — but ONLY when it is a plain narrow scan with fewer
+    partitions than that. The repartition moves just the narrow input
     (one extra shuffle of the raw rows); when the source already has
-    enough splits this is a no-op and the plan is untouched, so calling
-    it ahead of a CPU-dense stage is safe at any scale.
+    enough splits — or the plan already contains exchanges, whose
+    width is governed by ``spark.sql.shuffle.partitions`` — this is a
+    no-op and the plan is untouched, so calling it ahead of a
+    CPU-dense stage is safe at any scale.
 
     The explicit partition count is deliberately user-specified: AQE's
     advisory coalescing would immediately fold a few-MB shuffle back to
@@ -31,9 +51,12 @@ def fan_out(df: DataFrame, min_factor: float = 1.0) -> DataFrame:
         # no .rdd on a streaming frame; micro-batch width is governed
         # by the source (maxFilesPerTrigger × file splits) instead
         return df
+    if not _is_narrow_scan_plan(df):
+        return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    # .rdd resolves the logical plan only — no job is triggered
-    if df.rdd.getNumPartitions() >= max(1, int(target * min_factor)):
+    # safe here: a narrow scan's .rdd resolves the plan without
+    # materializing any shuffle stage
+    if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)

@@ -301,10 +301,12 @@ def _confirm_cosine_pairs(
 def _arrow_cosine_confirm(joined: DataFrame, threshold: float) -> DataFrame:
     """Batch-vectorized cosine confirm: one numpy einsum per Arrow batch
     (no per-row Python — the whole batch is two (n, dim) float64
-    matrices). Pairs whose two vectors differ in length cannot stack;
-    they score NaN, which fails every threshold — the same keep/drop
-    outcome as the SQL mode's NULL-padded zip_with (star rows still
-    pass, as connectivity edges must)."""
+    matrices). Pairs whose two vectors differ in length — or where
+    either vector is NULL — cannot stack; they score NaN, which fails
+    every threshold: the same keep/drop outcome as the SQL mode's
+    NULL-propagating zip_with (star rows still pass either way, as
+    connectivity edges must). The output schema mirrors the joined
+    input's id types, so non-long id columns survive the round-trip."""
     import numpy as np
     import pandas as pd
 
@@ -313,10 +315,21 @@ def _arrow_cosine_confirm(joined: DataFrame, threshold: float) -> DataFrame:
             n = len(pdf)
             if n == 0:
                 continue
-            la = np.fromiter((len(v) for v in pdf["_va"]), dtype=np.int64, count=n)
-            lb = np.fromiter((len(v) for v in pdf["_vb"]), dtype=np.int64, count=n)
+            # -1 marks a NULL vector: never equal to a real length and
+            # never equal to another NULL's (guarded by la >= 0), so
+            # NULL-vector pairs score NaN instead of crashing len(None)
+            la = np.fromiter(
+                (-1 if v is None else len(v) for v in pdf["_va"]),
+                dtype=np.int64,
+                count=n,
+            )
+            lb = np.fromiter(
+                (-1 if v is None else len(v) for v in pdf["_vb"]),
+                dtype=np.int64,
+                count=n,
+            )
             cos = np.full(n, np.nan)
-            ok = la == lb
+            ok = (la == lb) & (la >= 0)
             # stack per distinct dim so ragged batches still vectorize
             for d in np.unique(la[ok]):
                 m = ok & (la == d) & (lb == d)
@@ -337,9 +350,14 @@ def _arrow_cosine_confirm(joined: DataFrame, threshold: float) -> DataFrame:
             )
             yield out
 
+    id_a = joined.schema["doc_id_a"].dataType.simpleString()
+    id_b = joined.schema["doc_id_b"].dataType.simpleString()
     return joined.mapInPandas(
         score,
-        schema="doc_id_a long, doc_id_b long, cosine double, star boolean",
+        schema=(
+            f"doc_id_a {id_a}, doc_id_b {id_b}, "
+            "cosine double, star boolean"
+        ),
     )
 
 
@@ -359,6 +377,12 @@ def embedding_near_duplicates(
     the shared ``_banded_pairs`` machinery), exact cosine >= threshold
     confirms. The confirm step touches only candidate pairs — never the
     O(n^2) cross join — which is the 10^9-vector dedup path.
+
+    ``dim`` is the INDEX WIDTH contract: set it to the true embedding
+    width. Vectors longer than ``dim`` hash on their first ``dim``
+    components only (every table shares the truncation, so
+    OR-amplification cannot rescue similarity living in later
+    components); vectors shorter hash on their own full length.
 
     Star edges from degraded hot buckets are CONNECTIVITY edges, not
     similarity claims (text/dedupe._banded_pairs documents the
@@ -426,11 +450,12 @@ def kmeans_centroids(
     are the k min-id vectors, so two runs produce identical centroids.
     An emptied list keeps its previous centroid (FAISS behavior)."""
     cents = ivf_centroids(emb, k, vec_col, id_col)
+    emb = fan_out(emb)  # once, outside the loop — not per iteration
     for _ in range(iterations):
         # two projections: the argmax expression (nested lambda
         # functions) cannot share a select with a generator — the
         # Generate rewrite strips struct field names
-        assigned = fan_out(emb).select(
+        assigned = emb.select(
             F.element_at(_top_lists(F.col(vec_col), cents, 1), 1).alias(
                 "list_id"
             ),
@@ -588,6 +613,13 @@ def semantic_dedup(
     the cosine confirm un-filtered (connectivity contract,
     text/dedupe._banded_pairs) so an over-budget cluster never
     disconnects mutually-similar members.
+
+    SIZE ``n_clusters`` WITH THE CORPUS: the pair stage materializes
+    each cluster's id list as ONE aggregate row (O(cluster size) longs,
+    and one task explodes it), so clusters must fit executor memory —
+    n/n_clusters should stay ≤ ~10^6. SemDeDup itself runs ~10^5
+    clusters at 10^9 embeddings (n/k ≈ 10^4); the default 16 is a
+    small-corpus/test setting, not a scale setting.
 
     ``centroids`` defaults to the deterministic min-id quantizer
     (:func:`ivf_centroids` — DuckDB-reproducible, used by the oracle

@@ -173,17 +173,24 @@ def _banded_pairs(
     re-execute the (expensive) signature computation per side. A bucket
     materializes as one array per group; the pair OUTPUT is capped, and
     the array itself is linear in bucket size."""
-    grouped = banded.groupBy("band", "bucket").agg(
-        F.sort_array(F.collect_list("doc_id")).alias("ids")
+    # pin the ONE bucket shuffle at an explicit width: an implicit
+    # ENSURE_REQUIREMENTS exchange gets AQE-coalesced by BYTES, but a
+    # bucket-group row is small while its explode fans into O(bucket²)
+    # pairs — a few-KiB aggregate was observed collapsing the whole
+    # pair expansion into one task. A user-specified hash repartition
+    # on the grouping keys satisfies the aggregation's distribution
+    # requirement (no second exchange is planned) and AQE honors its
+    # count, so the explode runs at full width with no extra shuffle.
+    # One group's explode is still atomic; the star cap bounds it at
+    # O(bucket).
+    spark = banded.sparkSession
+    width = max(
+        spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
     )
-    # spread bucket groups to full width BEFORE the pair explode: the
-    # grouped rows are few and small (AQE coalesces them into one
-    # task) but each explodes into O(bucket²) pairs — without the
-    # spread the entire pair expansion runs serially. One group's
-    # explode is still atomic; the star cap bounds that at O(bucket).
-    grouped = grouped.repartition(
-        banded.sparkSession.sparkContext.defaultParallelism
-    )
+    grouped = banded.repartition(width, "band", "bucket").groupBy(
+        "band", "bucket"
+    ).agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
     all_pairs = F.expr(
         "flatten(transform(ids, (x, i) -> "
         "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS a, y AS b))))"
@@ -576,8 +583,6 @@ def dedup_clusters(
     doc that belongs to a multi-doc cluster; downstream keeps
     ``is_canonical`` rows and drops the rest. Singleton docs never enter
     the pair graph and are implicitly kept."""
-    from pyspark.sql import Window as W
-
     pairs = ngram_jaccard(
         docs,
         candidates=lsh_near_duplicates(

@@ -59,14 +59,18 @@ def test_values_bit_stable_through_fan_out(spark):
     assert before == after
 
 
-def test_min_factor_gate(spark):
-    """min_factor widens the trigger: a df at exactly default
-    parallelism is left alone at the default threshold but respread
-    when the caller demands headroom."""
-    target = spark.sparkContext.defaultParallelism
-    df = spark.range(1000).repartition(target)
-    assert fan_out(df) is df
-    out = fan_out(df, min_factor=2.0)
-    assert out is not df
-    assert out.rdd.getNumPartitions() == target
-    assert out.agg(F.sum("id")).collect()[0][0] == 499500
+def test_shuffle_bearing_plan_is_untouched(spark):
+    """A plan that already contains exchanges (join/aggregate/window)
+    must be returned as-is: probing .rdd there would EXECUTE the
+    upstream stages under AQE just to count partitions, and such plans
+    already carry shuffle-partition width."""
+    a = spark.createDataFrame(
+        [(i, i % 7) for i in range(100)], "id long, k long"
+    ).coalesce(1)
+    agg = a.groupBy("k").agg(F.count(F.lit(1)).alias("c"))
+    assert fan_out(agg) is agg
+    joined = a.join(a.withColumnRenamed("id", "id2"), "k")
+    assert fan_out(joined) is joined
+    # a narrow projection/filter over a scan still qualifies
+    narrow = a.filter(F.col("id") > 3).select("id")
+    assert fan_out(narrow) is not narrow

@@ -276,8 +276,11 @@ def test_arrow_confirm_matches_sql_mode(spark):
     rng = np.random.RandomState(3)
     rows = [(i, [float(x) for x in rng.uniform(-1, 1, 8)]) for i in range(40)]
     # near-duplicate pair + a ragged vector that can't stack with dim 8
+    # + a NULL vector (hashes to bucket 0, so it DOES enter candidate
+    # pairs — the arrow path must score it NaN, not crash on len(None))
     rows.append((100, [x * 1.001 for x in rows[0][1]]))
     rows.append((101, [1.0, 2.0, 3.0]))
+    rows.append((102, None))
     emb = spark.createDataFrame(
         rows, "vec_id long, embedding array<float>"
     )
