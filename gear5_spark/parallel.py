@@ -14,23 +14,59 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-# logical operators whose presence means the plan contains
-# compute-bearing exchanges — probing .rdd there would EXECUTE the
-# upstream stages under AQE (AdaptiveSparkPlanExec materializes every
-# non-final query stage to plan the final one), doing the heaviest
-# work twice. Such plans already carry shuffle-partition width, so the
-# narrow-scan guard has nothing to fix anyway. Plain Repartition /
-# coalesce nodes are NOT listed: they are cheap to probe and a
-# coalesced scan is exactly the narrow shape the guard exists for.
-_WIDE_OPS = (
-    "Join", "Aggregate", "Window", "Distinct", "Deduplicate",
-    "Sort", "GlobalLimit", "Intersect", "Except",
-)
+# Logical-plan node classes that are safe to probe with .rdd: leaves
+# (the split count comes from scan metadata, nothing executes), pure
+# per-row transforms, and plain Repartition/coalesce (probing runs at
+# most a round-robin map over the raw scan rows — a coalesced scan is
+# exactly the narrow shape this guard exists for). ANY other node —
+# joins, aggregates, windows, sorts, limits, pandas group-map/cogroup
+# (FlatMapGroupsInPandas / FlatMapCoGroupsInPandas), rebalance — is
+# treated as wide: probing .rdd there would EXECUTE the upstream query
+# stages under AQE (AdaptiveSparkPlanExec materializes every non-final
+# stage to plan the final one), doing the heaviest work twice; and such
+# plans already carry shuffle-partition width, so the narrow-scan guard
+# has nothing to fix anyway. An allowlist (not a denylist) means an
+# unrecognized node is conservatively wide instead of silently probed.
+_NARROW_NODES = frozenset({
+    # leaves
+    "LogicalRelation", "DataSourceV2Relation", "LocalRelation",
+    "LogicalRDD", "Range", "OneRowRelation", "StreamingRelationV2",
+    # per-row narrow transforms
+    "Project", "Filter", "Generate", "SubqueryAlias", "Union",
+    "MapInPandas", "PythonMapInArrow",
+    # explicitly-cheap width changers (see note above)
+    "Repartition",
+})
 
 
 def _is_narrow_scan_plan(df: DataFrame) -> bool:
-    plan = df._jdf.queryExecution().analyzed().toString()
-    return not any(op in plan for op in _WIDE_OPS)
+    """True iff every node in the analyzed logical plan is on the
+    narrow allowlist. Walks actual tree-node class names rather than
+    substring-matching the plan string, so an identifier that happens
+    to contain an operator keyword (a column named ``SortKey``) cannot
+    disable the guard, and a shuffle-bearing node missing from a
+    denylist cannot sneak past it."""
+    stack = [df._jdf.queryExecution().analyzed()]
+    while stack:
+        node = stack.pop()
+        if node.getClass().getSimpleName() not in _NARROW_NODES:
+            return False
+        children = node.children()
+        for i in range(children.size()):
+            stack.append(children.apply(i))
+    return True
+
+
+def shuffle_width(spark) -> int:
+    """The session's shuffle-partition count as an int, tolerating
+    platforms where ``spark.sql.shuffle.partitions`` is set to a
+    non-numeric value such as ``"auto"`` (Databricks auto-optimized
+    shuffle) — falls back to the cluster's default parallelism there."""
+    raw = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    try:
+        return int(raw)
+    except (TypeError, ValueError):
+        return spark.sparkContext.defaultParallelism
 
 
 def fan_out(df: DataFrame) -> DataFrame:

@@ -344,7 +344,13 @@ def _arrow_cosine_confirm(joined: DataFrame, threshold: float) -> DataFrame:
                 {
                     "doc_id_a": pdf["doc_id_a"][keep],
                     "doc_id_b": pdf["doc_id_b"][keep],
-                    "cosine": cos[keep],
+                    # nullable Float64 so an unscorable star pair's NaN
+                    # becomes a true NULL on the wire — the SQL mode's
+                    # NULL-propagating zip_with emits NULL there, and the
+                    # two confirm modes must agree in their PUBLIC output
+                    # (collected rows / parquet), not just under a
+                    # NaN≡NULL-canonicalizing test
+                    "cosine": pd.array(cos[keep], dtype="Float64"),
                     "star": star[keep],
                 }
             )

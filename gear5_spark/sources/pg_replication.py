@@ -359,7 +359,9 @@ class ReplicationClient:
         durable flush LSN (+1 per the convention that the reported
         position is the next byte expected), client clock in pg-epoch
         microseconds, no reply requested."""
-        now_us = int(time.time() * 1000 - PG_EPOCH_MS) * 1000
+        # microseconds since 2000-01-01 — compute in µs directly; scaling
+        # an already-truncated ms count would pin the clock to ms boundaries
+        now_us = int((time.time() * 1000 - PG_EPOCH_MS) * 1000)
         body = b"r" + struct.pack(
             ">qqqqb",
             self.flush_lsn + 1,

@@ -363,7 +363,12 @@ class PgOutputDecoder:
                 if v is _UNCHANGED:
                     if old_is_full and old is not None:
                         v = old[i]  # REPLICA IDENTITY FULL: old image has it
-                    else:
+                    # the old image can itself carry the unchanged-TOAST
+                    # sentinel for that slot ('u' in a full image) — if the
+                    # backfill did not produce a real value, raise the same
+                    # instructive error rather than letting the sentinel
+                    # leak into columnvalues and crash json.dumps later
+                    if v is _UNCHANGED:
                         raise ValueError(
                             f"unchanged-TOAST column {cname!r} on "
                             f"{rel.namespace}.{rel.name} without a full old "

@@ -183,10 +183,12 @@ def _banded_pairs(
     # count, so the explode runs at full width with no extra shuffle.
     # One group's explode is still atomic; the star cap bounds it at
     # O(bucket).
+    from gear5_spark.parallel import shuffle_width
+
     spark = banded.sparkSession
     width = max(
         spark.sparkContext.defaultParallelism,
-        int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+        shuffle_width(spark),
     )
     grouped = banded.repartition(width, "band", "bucket").groupBy(
         "band", "bucket"

@@ -183,6 +183,25 @@ def test_unchanged_toast_backfills_from_full_old_image():
     assert json.loads(rows[0]["after_json"])["text"] == "big-toasted-text"
 
 
+def test_unchanged_toast_in_full_old_image_raises_not_leaks():
+    """A full ('O') old image can itself mark the slot unchanged-TOAST;
+    the backfill must then raise the instructive error, not let the
+    sentinel leak into columnvalues and crash json.dumps downstream."""
+    dec = PgOutputDecoder()
+    with pytest.raises(ValueError, match="REPLICA IDENTITY FULL"):
+        changes_from_pgoutput(
+            dec,
+            _tx(
+                msg_update(
+                    4001,
+                    new=["c1", "0", "user", ("u",), None, None, None],
+                    old=["c1", "0", "user", ("u",), None, None, None],
+                    old_marker=b"O",
+                ),
+            ),
+        )
+
+
 def test_unchanged_toast_without_full_image_raises():
     dec = PgOutputDecoder()
     with pytest.raises(ValueError, match="REPLICA IDENTITY FULL"):

@@ -287,9 +287,11 @@ def test_arrow_confirm_matches_sql_mode(spark):
     kw = dict(threshold=0.6, n_planes=2, n_tables=4, dim=8)
 
     def _canon_cos(c):
-        # NULL (SQL length-mismatch) and NaN (arrow) are the same
-        # 'unscorable' marker on a star connectivity edge
-        return None if c is None or c != c else round(c, 6)
+        # both modes must emit a true NULL for an unscorable pair —
+        # a NaN leaking into the public output is a defect, not a
+        # representation to canonicalize away
+        assert c == c or c is None, f"NaN cosine in public output: {c!r}"
+        return None if c is None else round(c, 6)
 
     for cap in (sys.maxsize, 6):  # uncapped AND star-degraded buckets
         sql_rows = {
@@ -306,5 +308,9 @@ def test_arrow_confirm_matches_sql_mode(spark):
         }
         assert sql_rows == arrow_rows
         assert sql_rows  # non-vacuous: the seeded near-dup pair exists
+        # at least one star edge must be unscorable here (the NULL /
+        # ragged vector) so the NULL-on-the-wire contract is exercised
+        if cap != sys.maxsize:
+            assert any(c is None for (_, _, c, _) in arrow_rows)
     with pytest.raises(ValueError):
         embedding_near_duplicates(emb, confirm_impl="simd", **kw).collect()
