@@ -176,34 +176,65 @@ def _replay(spark, log_dir: str, tag: str, warmup: bool = True,
     return best
 
 
-def _stream_replay(spark, log_dir: str, sink_mode: str = "cow",
-                   runs: int = 2) -> float:
-    """Streaming replay wall-clock, best of ``runs`` within the session —
-    same steady-state protocol as _replay: the first pass through a
-    sink's codegen paths (merge_delta vs merge_into differ) pays JIT
-    that a long-running stream never sees again."""
+STREAM_DETAIL: dict[str, dict] = {}
+
+
+def _stream_once(spark, log_dir: str, sink_mode: str, rep: int) -> float:
+    """One streaming replay of ``log_dir`` under ``sink_mode``; records
+    wall-clock, per-phase spans, and per-phase Spark stage metrics into
+    STREAM_DETAIL (kept for the BEST run of each mode — same protocol
+    as _replay)."""
+    from gear5_spark import perf
     from gear5_spark.pipeline.runner import (
         bootstrap_table,
         make_applier,
         run_stream,
     )
 
-    best = None
-    for _ in range(max(1, runs)):
-        work = f"{BENCH_WORK_ROOT}/stream-{sink_mode}"
-        shutil.rmtree(work, ignore_errors=True)
-        table = bootstrap_table(spark, f"{work}/table", n_buckets=32)
-        applier = make_applier(
-            table, f"{work}/ckpt", sink_mode=sink_mode, compact_every=8
+    work = f"{BENCH_WORK_ROOT}/stream-{sink_mode}"
+    shutil.rmtree(work, ignore_errors=True)
+    table = bootstrap_table(spark, f"{work}/table", n_buckets=32)
+    applier = make_applier(
+        table, f"{work}/ckpt", sink_mode=sink_mode, compact_every=8
+    )
+    perf.reset()
+    prefix = f"stream-{sink_mode}-r{rep}|"
+    perf.track(spark, prefix=prefix)
+    t0 = time.perf_counter()
+    run_stream(
+        spark, log_dir, table, checkpoint_dir=f"{work}/ckpt",
+        max_files_per_trigger=16, applier=applier, timeout_sec=3600,
+    )
+    elapsed = time.perf_counter() - t0
+    rec = STREAM_DETAIL.setdefault(sink_mode, {})
+    rec.setdefault("runs_sec", []).append(round(elapsed, 3))
+    if "total_sec" not in rec or elapsed < rec["total_sec"]:
+        rec.update(
+            total_sec=round(elapsed, 3),
+            phases=perf.timings(),
+            stage_metrics=perf.stage_metrics(spark, prefix=prefix),
         )
-        t0 = time.perf_counter()
-        run_stream(
-            spark, log_dir, table, checkpoint_dir=f"{work}/ckpt",
-            max_files_per_trigger=16, applier=applier, timeout_sec=3600,
-        )
-        elapsed = time.perf_counter() - t0
-        best = elapsed if best is None else min(best, elapsed)
-        shutil.rmtree(work, ignore_errors=True)
+    perf.untrack()
+    shutil.rmtree(work, ignore_errors=True)
+    return elapsed
+
+
+def _stream_replay_pair(spark, log_dir: str, runs: int = 2) -> dict[str, float]:
+    """Streaming replay wall-clock for BOTH sinks, best of ``runs`` each.
+
+    The modes are INTERLEAVED (cow, mor, cow, mor, ...) so each rep of
+    each sink samples the same host-tenancy window — running all CoW
+    reps then all MoR reps lets a mid-bench host degradation land
+    entirely on one mode and invert the comparison (that is exactly
+    what the r4 driver window showed: MoR 31.1 s vs its 11.5 s recorded
+    best while CoW, measured minutes earlier, improved). Best-of-N
+    within one session also absorbs first-pass JIT, which differs per
+    sink (merge_delta vs merge_into codegen paths)."""
+    best: dict[str, float] = {}
+    for rep in range(max(1, runs)):
+        for sink_mode in ("cow", "mor"):
+            t = _stream_once(spark, log_dir, sink_mode, rep)
+            best[sink_mode] = min(best.get(sink_mode, t), t)
     return best
 
 
@@ -416,10 +447,9 @@ def main() -> None:
     }
 
     # --- streaming replay (micro-batched exactly-once path), CoW vs MoR
-    results["cdc_replay_stream_cow"] = round(_stream_replay(spark, log_dir), 3)
-    results["cdc_replay_stream_mor"] = round(
-        _stream_replay(spark, log_dir, sink_mode="mor"), 3
-    )
+    stream_best = _stream_replay_pair(spark, log_dir)
+    results["cdc_replay_stream_cow"] = round(stream_best["cow"], 3)
+    results["cdc_replay_stream_mor"] = round(stream_best["mor"], 3)
 
     # --- analytic operators at SF_DIR
     bench_queries = [
@@ -607,6 +637,7 @@ def main() -> None:
         "sf": SF_DIR,
         "scaling": scaling,
         "recall": recall,
+        "stream_detail": STREAM_DETAIL,
         "commit_cost": commit_cost,
         "stats_skip": stats_skip,
         "config": {

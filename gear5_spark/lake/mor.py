@@ -159,15 +159,28 @@ def compact(
     txn_app_id: str | None = None,
     txn_batch_id: int | None = None,
     lineage: dict[str, Any] | None = None,
+    min_deltas: int = 1,
 ) -> Snapshot | None:
     """Fold resident deltas into base files for ``buckets`` (default: every
     bucket that has deltas). No-op (returns None) when nothing to compact.
 
+    ``min_deltas`` skips buckets holding fewer resident delta files than
+    the threshold: under skewed touch patterns (a few hot conversations
+    receiving every update) the hot buckets accumulate deltas fast while
+    the cold long tail holds one small delta each — folding those cold
+    buckets rewrites their (large) base files for no read-amplification
+    gain. Skipping a bucket is always safe: reconstruct() keeps merging
+    its base+deltas until a later compaction clears the threshold.
+
     Runs as its own atomic commit — a crash mid-compaction leaves only
     orphan files; readers keep seeing base+delta until the swap."""
     snap = table.snapshot()
+    per_bucket: dict[int, int] = {}
+    for f in snap.files:
+        if f.get("kind") == "delta":
+            per_bucket[f["bucket"]] = per_bucket.get(f["bucket"], 0) + 1
     delta_buckets = sorted(
-        {f["bucket"] for f in snap.files if f.get("kind") == "delta"}
+        b for b, n in per_bucket.items() if n >= max(1, min_deltas)
     )
     if buckets is not None:
         delta_buckets = sorted(set(delta_buckets) & set(buckets))

@@ -110,6 +110,11 @@ class TranscriptsApplier:
     broadcast_batch: bool = False
     sink_mode: str = "cow"  # cow | mor (delta files + periodic compaction)
     compact_every: int = 8
+    # buckets with fewer resident delta files than this are skipped at
+    # compaction time (lake/mor.compact min_deltas) — under key skew the
+    # cold long tail keeps its single small delta instead of paying a
+    # full base rewrite; 1 = fold everything (uniform-key behavior)
+    compact_min_deltas: int = 1
     quarantine_dir: str | None = None  # dead-letter sink for unkeyable events
     # per-source-partition lineage (north-star metric): per input file,
     # its lsn range + row count from parquet FOOTER stats — driver-side
@@ -663,19 +668,23 @@ class TranscriptsApplier:
             if self.sink_mode == "mor":
                 from gear5_spark.lake.mor import compact, merge_delta
 
-                snap = merge_delta(
-                    self.table,
-                    deduped,
-                    txn_app_id=self.app_id,
-                    txn_batch_id=int(batch_id),
-                    lineage=lineage,
-                    pre_placed=pre_placed,
-                )
+                with span("apply.merge_delta"):
+                    snap = merge_delta(
+                        self.table,
+                        deduped,
+                        txn_app_id=self.app_id,
+                        txn_batch_id=int(batch_id),
+                        lineage=lineage,
+                        pre_placed=pre_placed,
+                    )
                 # bound read amplification: fold deltas into base
                 # periodically (its own atomic commit, no txn id — derived
                 # state, safe to redo after a crash)
                 if self.compact_every and (batch_id + 1) % self.compact_every == 0:
-                    compact(self.table)
+                    with span("apply.compact"):
+                        compact(
+                            self.table, min_deltas=self.compact_min_deltas
+                        )
                 if self.rollup is not None:
                     self.rollup.refresh(deduped_raw, int(batch_id))
                 return snap
