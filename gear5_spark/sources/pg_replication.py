@@ -14,11 +14,15 @@ only LSNs whose chunk file is atomically visible are ever acknowledged.
 
 Zero dependencies by design (no psycopg2 in this sandbox, and none
 needed): the replication subprotocol uses a handful of fixed-layout
-messages. Supported auth: trust and cleartext password (the sandbox
-fake server uses trust; production deployments terminating TLS/SCRAM
-should front this with a proxy or swap ``connect`` for a psycopg2
-connection — the streaming loop below is identical either way, see
-``PgOutputFeed``'s docstring for the psycopg2 form).
+messages. Supported auth: trust, cleartext password, and
+**SCRAM-SHA-256** (RFC 5802/7677 over the 'R' codes 10/11/12 — the
+default of every hosted Postgres: RDS, Cloud SQL, Azure), matching the
+reference's pgx-provided auth (`drivers/postgres/internal/postgres.go:45`).
+TLS is negotiated with the standard SSLRequest preamble + stdlib
+``ssl`` when ``sslmode`` is require/verify-ca/verify-full (reference:
+sslmode plumbed at `drivers/postgres/internal/config.go:123-125`).
+SCRAM-SHA-256-PLUS (channel binding) is not offered — servers always
+advertise plain SCRAM-SHA-256 alongside it.
 
 Protocol layouts used (all big-endian; public PG docs "Message
 Formats" + "Streaming Replication Protocol"):
@@ -26,9 +30,12 @@ Formats" + "Streaming Replication Protocol"):
 =====  ==========================================================
 dir    message
 =====  ==========================================================
+F->B   SSLRequest: Int32 8, Int32 80877103; B->F one raw byte
+       'S' (proceed to TLS handshake) / 'N' (refused)
 F->B   Startup: Int32 len, Int32 196608, (key\\0value\\0)* \\0
-B->F   'R' auth: Int32 len, Int32 code (0 ok, 3 cleartext)
-F->B   'p' password: Int32 len, String
+B->F   'R' auth: Int32 len, Int32 code (0 ok, 3 cleartext,
+       10 SASL mechanism list, 11 SASL continue, 12 SASL final)
+F->B   'p' password / SASLInitialResponse / SASLResponse
 B->F   'S' parameter status / 'K' backend key data (skipped)
 B->F   'Z' ready for query
 F->B   'Q' simple query: Int32 len, String
@@ -44,7 +51,12 @@ B->F   'E' error response: (Byte field, String)* \\0
 
 from __future__ import annotations
 
+import base64
+import hashlib
+import hmac
+import os
 import socket
+import ssl
 import struct
 import time
 from typing import Any, Callable, Iterator
@@ -53,6 +65,8 @@ from gear5_spark.sources.pgoutput import PG_EPOCH_MS, PgOutputFeed
 
 #: protocol version 3.0
 _PROTO = 196608
+#: SSLRequest "version" magic (public PG protocol docs)
+_SSL_MAGIC = 80877103
 
 
 def _startup_payload(params: dict[str, str]) -> bytes:
@@ -93,6 +107,73 @@ class ReplicationError(RuntimeError):
     pass
 
 
+class _ScramSha256:
+    """Client side of SCRAM-SHA-256 (RFC 5802, SHA-256 parameters per
+    RFC 7677), no channel binding (gs2 header ``n,,``). The username
+    attribute is left empty — PostgreSQL takes the role from the
+    startup packet and ignores SCRAM's ``n=``. SASLprep normalization
+    is not applied (stdlib has no implementation); passwords outside
+    printable ASCII should be avoided or fronted with psycopg2."""
+
+    MECHANISM = "SCRAM-SHA-256"
+
+    def __init__(self, password: str, nonce: str | None = None):
+        self._password = password.encode()
+        # printable-ASCII nonce, no commas (RFC 5802 attr syntax)
+        self._nonce = nonce or base64.b64encode(os.urandom(18)).decode()
+        self.client_first_bare = f"n=,r={self._nonce}"
+        self._server_signature: bytes | None = None
+
+    def client_first(self) -> bytes:
+        return ("n,," + self.client_first_bare).encode()
+
+    def client_final(self, server_first: bytes) -> bytes:
+        text = server_first.decode()
+        attrs = dict(p.split("=", 1) for p in text.split(","))
+        full_nonce = attrs["r"]
+        if not full_nonce.startswith(self._nonce):
+            raise ReplicationError(
+                "SCRAM server nonce does not extend the client nonce"
+            )
+        salt = base64.b64decode(attrs["s"])
+        iterations = int(attrs["i"])
+        salted = hashlib.pbkdf2_hmac(
+            "sha256", self._password, salt, iterations
+        )
+        client_key = hmac.digest(salted, b"Client Key", "sha256")
+        stored_key = hashlib.sha256(client_key).digest()
+        # c=biws is base64("n,,") — the gs2 header echoed channel-binding
+        without_proof = f"c=biws,r={full_nonce}"
+        auth_message = ",".join(
+            [self.client_first_bare, text, without_proof]
+        ).encode()
+        signature = hmac.digest(stored_key, auth_message, "sha256")
+        proof = bytes(a ^ b for a, b in zip(client_key, signature))
+        server_key = hmac.digest(salted, b"Server Key", "sha256")
+        self._server_signature = hmac.digest(
+            server_key, auth_message, "sha256"
+        )
+        return (
+            without_proof + ",p=" + base64.b64encode(proof).decode()
+        ).encode()
+
+    def verify_server_final(self, server_final: bytes) -> None:
+        """Mutual auth: the v= signature proves the SERVER knows the
+        (salted) password too — a MITM that faked the exchange cannot
+        produce it."""
+        attrs = dict(
+            p.split("=", 1) for p in server_final.decode().split(",")
+        )
+        expected = self._server_signature
+        if expected is None or not hmac.compare_digest(
+            base64.b64decode(attrs.get("v", "")), expected
+        ):
+            raise ReplicationError(
+                "SCRAM server signature mismatch — the server does not "
+                "know the password (possible MITM); aborting"
+            )
+
+
 class ReplicationClient:
     """Minimal logical-replication frontend over one socket.
 
@@ -114,9 +195,17 @@ class ReplicationClient:
         password: str | None = None,
         timeout: float = 10.0,
         keepalive_interval: float = 1.0,
+        sslmode: str = "disable",
+        sslrootcert: str | None = None,
     ):
+        if sslmode not in ("disable", "require", "verify-ca", "verify-full"):
+            raise ValueError(
+                f"sslmode {sslmode!r} not one of disable/require/"
+                "verify-ca/verify-full"
+            )
         self.host, self.port = host, port
         self.user, self.dbname, self.password = user, dbname, password
+        self.sslmode, self.sslrootcert = sslmode, sslrootcert
         self.timeout = timeout
         # reference pins a 1 s standby deadline (pkg/waljs/waljs.go:80):
         # send an unsolicited status at least this often
@@ -135,6 +224,7 @@ class ReplicationClient:
         self._sock = socket.create_connection(
             (self.host, self.port), timeout=self.timeout
         )
+        self._negotiate_tls()
         self._send_raw(
             _startup_payload(
                 {
@@ -160,9 +250,45 @@ class ReplicationClient:
                         _msg(b"p", self.password.encode() + b"\x00")
                     )
                     continue
+                if code == 10:  # AuthenticationSASL: mechanism list
+                    if self.password is None:
+                        raise ReplicationError(
+                            "server requests SCRAM; no password configured"
+                        )
+                    mechs = [
+                        m.decode()
+                        for m in body[4:].split(b"\x00")
+                        if m
+                    ]
+                    if _ScramSha256.MECHANISM not in mechs:
+                        raise ReplicationError(
+                            f"no common SASL mechanism (server offers "
+                            f"{mechs}, client speaks "
+                            f"{_ScramSha256.MECHANISM})"
+                        )
+                    self._scram = _ScramSha256(self.password)
+                    first = self._scram.client_first()
+                    self._send_raw(
+                        _msg(
+                            b"p",
+                            _ScramSha256.MECHANISM.encode()
+                            + b"\x00"
+                            + struct.pack(">i", len(first))
+                            + first,
+                        )
+                    )
+                    continue
+                if code == 11:  # AuthenticationSASLContinue
+                    self._send_raw(
+                        _msg(b"p", self._scram.client_final(body[4:]))
+                    )
+                    continue
+                if code == 12:  # AuthenticationSASLFinal
+                    self._scram.verify_server_final(body[4:])
+                    continue
                 raise ReplicationError(
-                    f"unsupported auth method {code} (trust/cleartext "
-                    "only — front SCRAM/TLS with a proxy or psycopg2)"
+                    f"unsupported auth method {code} (trust/cleartext/"
+                    "SCRAM-SHA-256 supported)"
                 )
             elif tag in (b"S", b"K", b"N"):  # params / key data / notice
                 continue
@@ -354,6 +480,40 @@ class ReplicationClient:
                 on_flush(path, ack)
 
     # -- internals ---------------------------------------------------
+    def _negotiate_tls(self) -> None:
+        """SSLRequest preamble + stdlib TLS handshake per ``sslmode``:
+
+        - ``disable``     — plain socket (the default; sandbox servers)
+        - ``require``     — encrypt, no certificate verification
+        - ``verify-ca``   — verify the chain against ``sslrootcert``
+        - ``verify-full`` — verify-ca + hostname match
+
+        Mirrors libpq's sslmode ladder (reference plumbs the same knob,
+        `drivers/postgres/internal/config.go:123-125`). A server
+        answering 'N' under any non-disable mode is an error — this
+        client never silently falls back to plaintext."""
+        if self.sslmode == "disable":
+            return
+        assert self._sock is not None
+        self._sock.sendall(struct.pack(">ii", 8, _SSL_MAGIC))
+        resp = self._sock.recv(1)
+        if resp != b"S":
+            raise ReplicationError(
+                f"server refused TLS (got {resp!r}) and sslmode="
+                f"{self.sslmode} forbids plaintext fallback"
+            )
+        if self.sslmode == "require":
+            ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_CLIENT)
+            ctx.check_hostname = False
+            ctx.verify_mode = ssl.CERT_NONE
+        else:
+            ctx = ssl.create_default_context(cafile=self.sslrootcert)
+            if self.sslmode == "verify-ca":
+                ctx.check_hostname = False
+        self._sock = ctx.wrap_socket(
+            self._sock, server_hostname=self.host
+        )
+
     def _send_status(self) -> None:
         """Standby status update: received/flushed/applied all report the
         durable flush LSN (+1 per the convention that the reported

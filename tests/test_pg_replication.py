@@ -9,8 +9,13 @@ with the byte-exact encoder from ``test_pgoutput``.
 
 from __future__ import annotations
 
+import base64
+import hashlib
+import hmac
 import socket
+import ssl
 import struct
+import subprocess
 import threading
 
 import pyarrow.parquet as pq
@@ -51,10 +56,14 @@ class FakeWalSender(threading.Thread):
     """One-connection walsender: scripted XLogData frames, records every
     standby-status update the client sends."""
 
-    def __init__(self, frames, require_password=None, split_writes=False):
+    def __init__(self, frames, require_password=None, split_writes=False,
+                 scram_password=None, tls_ctx=None, bad_server_sig=False):
         super().__init__(daemon=True)
         self.frames = frames  # [(wal_start, pgoutput payload bytes)]
         self.require_password = require_password
+        self.scram_password = scram_password  # SCRAM-SHA-256 exchange
+        self.tls_ctx = tls_ctx  # ssl.SSLContext -> expect SSLRequest
+        self.bad_server_sig = bad_server_sig  # forge v= in SASLFinal
         self.split_writes = split_writes  # stress the client's reframing
         self.statuses: list[int] = []  # flushed LSNs from 'r' updates
         self.startup_params: dict[str, str] = {}
@@ -103,6 +112,12 @@ class FakeWalSender(threading.Thread):
     def run(self):
         try:
             c, _ = self._lsock.accept()
+            if self.tls_ctx is not None:
+                # SSLRequest preamble precedes the TLS handshake
+                req = self._recv_exact(c, 8)
+                assert struct.unpack(">ii", req) == (8, 80877103)
+                c.sendall(b"S")
+                c = self.tls_ctx.wrap_socket(c, server_side=True)
             with c:
                 self._session(c)
         except Exception as e:  # surface in the test thread
@@ -117,6 +132,9 @@ class FakeWalSender(threading.Thread):
             tag, body = self._recv_msg(c)
             assert tag == b"p"
             assert body.rstrip(b"\x00").decode() == self.require_password
+        if self.scram_password is not None:
+            if not self._scram_auth(c):
+                return  # auth failed; error already sent
         self._send(c, _m(b"R", struct.pack(">i", 0)))  # AuthenticationOk
         self._send(
             c, _m(b"S", b"server_version\x0016.1\x00")
@@ -159,6 +177,65 @@ class FakeWalSender(threading.Thread):
                     return
         except (ConnectionError, socket.timeout):
             pass
+
+    def _scram_auth(self, c) -> bool:
+        """Real server side of SCRAM-SHA-256 (RFC 5802/7677): verifies
+        the client proof against the stored key derived from
+        ``scram_password`` — not a rubber stamp."""
+        self._send(
+            c,
+            _m(b"R", struct.pack(">i", 10) + b"SCRAM-SHA-256\x00\x00"),
+        )
+        tag, body = self._recv_msg(c)
+        assert tag == b"p"
+        end = body.index(b"\x00")
+        assert body[:end].decode() == "SCRAM-SHA-256"
+        (ln,) = struct.unpack_from(">i", body, end + 1)
+        client_first = body[end + 5 : end + 5 + ln].decode()
+        assert client_first.startswith("n,,")  # no channel binding
+        bare = client_first[3:]
+        cnonce = dict(p.split("=", 1) for p in bare.split(","))["r"]
+        snonce = cnonce + "srvXYZ"
+        salt, iters = b"0123456789abcdef", 4096
+        server_first = (
+            f"r={snonce},s={base64.b64encode(salt).decode()},i={iters}"
+        )
+        self._send(
+            c, _m(b"R", struct.pack(">i", 11) + server_first.encode())
+        )
+        tag, body = self._recv_msg(c)
+        assert tag == b"p"
+        client_final = body.decode()
+        attrs = dict(p.split("=", 1) for p in client_final.split(","))
+        assert attrs["c"] == "biws" and attrs["r"] == snonce
+        salted = hashlib.pbkdf2_hmac(
+            "sha256", self.scram_password.encode(), salt, iters
+        )
+        client_key = hmac.digest(salted, b"Client Key", "sha256")
+        stored_key = hashlib.sha256(client_key).digest()
+        without_proof = client_final[: client_final.rindex(",p=")]
+        auth_msg = ",".join([bare, server_first, without_proof]).encode()
+        signature = hmac.digest(stored_key, auth_msg, "sha256")
+        recovered = bytes(
+            a ^ b for a, b in zip(base64.b64decode(attrs["p"]), signature)
+        )
+        if hashlib.sha256(recovered).digest() != stored_key:
+            self._send(
+                c,
+                _m(b"E", b"SFATAL\x00Mpassword authentication failed "
+                   b"for user\x00\x00"),
+            )
+            return False
+        server_key = hmac.digest(salted, b"Server Key", "sha256")
+        v = base64.b64encode(
+            hmac.digest(server_key, auth_msg, "sha256")
+        ).decode()
+        if self.bad_server_sig:
+            v = base64.b64encode(b"\x00" * 32).decode()
+        self._send(
+            c, _m(b"R", struct.pack(">i", 12) + f"v={v}".encode())
+        )
+        return True
 
     def _send_identify(self, c):
         def field(name):
@@ -317,3 +394,136 @@ def test_server_error_surfaces():
     with pytest.raises(ReplicationError, match="does not exist"):
         list(client.start_replication("s", 0, {"proto_version": "1"}))
     client.close()
+
+
+# ---------------------------------------------------------------- SCRAM/TLS
+
+
+def test_scram_auth_end_to_end(tmp_path):
+    """Full SCRAM-SHA-256 exchange (RFC 7677 over 'R' codes 10/11/12)
+    against a fake server that VERIFIES the client proof, then a normal
+    tail — parity with pgx's default auth on hosted Postgres."""
+    frames = _tx_frames(300, 2)
+    srv = FakeWalSender(frames, scram_password="s3cret")
+    srv.start()
+    client = ReplicationClient(
+        "127.0.0.1", srv.port, user="rep", dbname="app", password="s3cret"
+    )
+    client.connect()
+    feed = PgOutputFeed(str(tmp_path / "wal"))
+    client.run(feed, slot="s", publication="p")
+    client.close()
+    srv.join(timeout=5)
+    assert not srv.errors, srv.errors
+    rows = pq.read_table(
+        tmp_path / "wal" / "chunk-000000.parquet"
+    ).to_pylist()
+    assert [(r["lsn"], r["turn_idx"]) for r in rows] == [(300, 0), (300, 1)]
+
+
+def test_scram_wrong_password_rejected():
+    srv = FakeWalSender(_tx_frames(1, 1), scram_password="right")
+    srv.start()
+    client = ReplicationClient(
+        "127.0.0.1", srv.port, user="r", dbname="d", password="wrong"
+    )
+    with pytest.raises(ReplicationError, match="authentication failed"):
+        client.connect()
+    client.close()
+    srv.join(timeout=5)
+
+
+def test_scram_forged_server_signature_rejected():
+    """Mutual auth: a server that validates our proof but cannot produce
+    the v= signature (doesn't actually know the password — MITM shape)
+    must be rejected by the CLIENT."""
+    srv = FakeWalSender(
+        _tx_frames(1, 1), scram_password="pw", bad_server_sig=True
+    )
+    srv.start()
+    client = ReplicationClient(
+        "127.0.0.1", srv.port, user="r", dbname="d", password="pw"
+    )
+    with pytest.raises(ReplicationError, match="server signature"):
+        client.connect()
+    client.close()
+    srv.join(timeout=5)
+
+
+@pytest.fixture(scope="module")
+def tls_cert(tmp_path_factory):
+    d = tmp_path_factory.mktemp("tls")
+    key, crt = d / "key.pem", d / "cert.pem"
+    subprocess.run(
+        [
+            "openssl", "req", "-x509", "-newkey", "rsa:2048", "-nodes",
+            "-keyout", str(key), "-out", str(crt), "-days", "2",
+            "-subj", "/CN=127.0.0.1",
+            "-addext", "subjectAltName=IP:127.0.0.1",
+        ],
+        check=True,
+        capture_output=True,
+    )
+    return str(crt), str(key)
+
+
+def test_tls_verify_full_tail(tmp_path, tls_cert):
+    """SSLRequest preamble → TLS handshake (verify-full against the
+    self-signed root) → SCRAM → tail: the full hosted-Postgres shape."""
+    crt, key = tls_cert
+    ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+    ctx.load_cert_chain(crt, key)
+    frames = _tx_frames(700, 2)
+    srv = FakeWalSender(frames, scram_password="pw", tls_ctx=ctx)
+    srv.start()
+    client = ReplicationClient(
+        "127.0.0.1", srv.port, user="rep", dbname="app", password="pw",
+        sslmode="verify-full", sslrootcert=crt,
+    )
+    client.connect()
+    feed = PgOutputFeed(str(tmp_path / "wal"))
+    client.run(feed, slot="s", publication="p")
+    client.close()
+    srv.join(timeout=5)
+    assert not srv.errors, srv.errors
+    rows = pq.read_table(
+        tmp_path / "wal" / "chunk-000000.parquet"
+    ).to_pylist()
+    assert [(r["lsn"], r["turn_idx"]) for r in rows] == [(700, 0), (700, 1)]
+
+
+def test_tls_refused_raises():
+    """A server answering 'N' to SSLRequest under sslmode=require must
+    raise — never silent plaintext fallback."""
+
+    class NoTls(threading.Thread):
+        def __init__(self):
+            super().__init__(daemon=True)
+            self._lsock = socket.create_server(("127.0.0.1", 0))
+            self.port = self._lsock.getsockname()[1]
+
+        def run(self):
+            try:
+                c, _ = self._lsock.accept()
+                with c:
+                    buf = b""
+                    while len(buf) < 8:
+                        buf += c.recv(8 - len(buf))
+                    c.sendall(b"N")
+            finally:
+                self._lsock.close()
+
+    srv = NoTls()
+    srv.start()
+    client = ReplicationClient(
+        "127.0.0.1", srv.port, user="r", dbname="d", sslmode="require"
+    )
+    with pytest.raises(ReplicationError, match="refused TLS"):
+        client.connect()
+    client.close()
+    srv.join(timeout=5)
+
+
+def test_bad_sslmode_rejected():
+    with pytest.raises(ValueError, match="sslmode"):
+        ReplicationClient("h", 1, user="u", dbname="d", sslmode="prefer")
