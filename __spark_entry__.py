@@ -120,6 +120,30 @@ def _q_latest_per_key(spark, sf_dir):
     )
 
 
+def _q_skewed_latest_per_key(spark, sf_dir):
+    """A5 under pathological skew (SURVEY §5.5): ~30% of all events are
+    remapped onto one hot key (deterministic ``event_id % 10 < 3``
+    rule, reproduced verbatim in the DuckDB oracle), then reduced with
+    the engine's SALTED two-phase plan (operators/dedup.py:64-77,
+    ``salt_buckets=8``) — the plan the applier swaps in when even
+    map-side partial aggregation leaves reducers unbalanced. The oracle
+    equality proves the salted cascade is result-identical to the
+    plain dedup window under the skew it exists for."""
+    from gear5_spark.operators.dedup import latest_per_key
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.when(F.col("event_id") % 10 < 3, F.lit(-1))
+        .otherwise(F.col("user_id"))
+        .alias("user_id"),
+        "event_id",
+        "event_type",
+        "ts",
+    )
+    return latest_per_key(
+        ev, ["user_id"], order_cols=("ts", "event_id"), salt_buckets=8
+    ).select("user_id", "event_id", "event_type", "ts")
+
+
 def _q_changelog_replay(spark, sf_dir):
     # A5 + delete semantics: events as a change feed; 'error' = delete;
     # final state = latest non-deleted row per key (last-write-wins fold)
@@ -1171,18 +1195,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # have never received a driver row sit up front; simple scalar
     # queries with 2+ rounds of green driver history rotate to the tail.
     return {
+        # --- never driver-graded: new this round ---
+        "skewed_latest_per_key": _q_skewed_latest_per_key,
+        # --- r4 tail cohort rotated forward (each has 2+ rounds of
+        # green driver history but sat past the 50-row cap last round;
+        # VERDICT r4 #4 asks that no entry goes >2 rounds without a
+        # fresh driver row) ---
+        "token_count": _q_token_count,
+        "conversation_render": _q_conversation_render,
+        "embedding_norm": _q_embedding_norm,
+        "conversation_stats": _q_conversation_stats,
+        "recency_filter": _q_recency_filter,
+        "discover_sample": _q_discover_sample,
+        "array_wrap": _q_array_wrap,
+        "cursor_greatest": _q_cursor_greatest,
+        "url_decode": _q_url_decode,
+        "stream_id": _q_stream_id,
+        # --- standing head ---
         "snapshot_scan": _q_snapshot_scan,
         "incremental_scan": _q_incremental_scan,
         "cursor_state": _q_cursor_state,
         "cursor_state_per_stream": _q_cursor_state_per_stream,
         "latest_per_key": _q_latest_per_key,
         "changelog_replay": _q_changelog_replay,
-        "exclude_columns": _q_exclude_columns,
-        "cdc_table_filter": _q_cdc_table_filter,
         "asof_attribution": _q_asof_attribution,
-        "json_extract_typed": _q_json_extract_typed,
-        "bool_coercion": _q_bool_coercion,
-        "timestamp_roundtrip": _q_timestamp_roundtrip,
         "rollup_replay": _q_rollup_replay,
         "doc_token_stats": _q_doc_token_stats,
         "corpus_top_terms": _q_corpus_top_terms,
@@ -1190,17 +1226,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scan": _q_pii_scan,
         "streaming_sessionize_digest": _q_streaming_sessionize_digest,
         "exact_dedup": _q_exact_dedup,
-        "quality_score": _q_quality_score,
-        "gopher_quality": _q_gopher_quality,
-        "lang_id": _q_lang_id,
-        "fingerprint": _q_fingerprint,
         "cosine_topk": _q_cosine_topk,
         "stream_incremental_dedup": _q_stream_incremental_dedup,
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_near_dup_arrow": _q_embedding_near_dup_arrow,
-        "column_profile": _q_column_profile,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
-        "ngram_jaccard": _q_ngram_jaccard,
         "lsh_jaccard_dedup": _q_lsh_jaccard_dedup,
         "simhash_pairs": _q_simhash_pairs,
         "lsh_cosine_topk": _q_lsh_cosine_topk,
@@ -1223,20 +1253,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _q_sessionize,
         # --- tail: >50th position, ungraded by the driver this round;
         # locally oracle-verified every round by scripts/check_oracle.py.
-        # Every tail entry has 2+ rounds of green driver history
-        # (r2+r3); conversation_render and token_count rotated out r4
-        # to give the NEW semantic_dedup and embedding_near_dup_arrow
-        # entries (exact oracles) driver rows ---
-        "token_count": _q_token_count,
-        "conversation_render": _q_conversation_render,
-        "embedding_norm": _q_embedding_norm,
-        "conversation_stats": _q_conversation_stats,
-        "recency_filter": _q_recency_filter,
-        "discover_sample": _q_discover_sample,
-        "array_wrap": _q_array_wrap,
-        "cursor_greatest": _q_cursor_greatest,
-        "url_decode": _q_url_decode,
-        "stream_id": _q_stream_id,
+        # Every tail entry below has 3 rounds of green driver history
+        # (r2+r3+r4) — rotated back this round to fund driver rows for
+        # the returning r4 tail cohort and the new skew entry ---
+        "quality_score": _q_quality_score,
+        "gopher_quality": _q_gopher_quality,
+        "lang_id": _q_lang_id,
+        "fingerprint": _q_fingerprint,
+        "column_profile": _q_column_profile,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "exclude_columns": _q_exclude_columns,
+        "cdc_table_filter": _q_cdc_table_filter,
+        "json_extract_typed": _q_json_extract_typed,
+        "bool_coercion": _q_bool_coercion,
+        "timestamp_roundtrip": _q_timestamp_roundtrip,
     }
 
 
@@ -1274,6 +1304,17 @@ def oracle_sql() -> dict[str, str]:
         ),
         "latest_per_key": (
             "SELECT user_id, event_id, event_type, ts FROM events "
+            "QUALIFY row_number() OVER "
+            "(PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1"
+        ),
+        "skewed_latest_per_key": (
+            # same skew rule as the Spark query: ~30% of events collapse
+            # onto hot key -1; the oracle reduces with a plain window, so
+            # equality proves the salted two-phase cascade exact
+            "WITH skewed AS (SELECT CASE WHEN event_id % 10 < 3 THEN -1 "
+            "ELSE user_id END AS user_id, event_id, event_type, ts "
+            "FROM events) "
+            "SELECT user_id, event_id, event_type, ts FROM skewed "
             "QUALIFY row_number() OVER "
             "(PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1"
         ),

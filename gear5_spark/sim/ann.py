@@ -668,9 +668,16 @@ def lsh_cosine_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     probe_radius: int = 1,
+    spread: bool = True,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH
     buckets, then exact cosine rank within candidates.
+
+    ``spread=False`` drops the candidate-set repartition before the
+    exact-cosine scoring (diagnostic knob — scripts/diag_lsh_spread.py
+    measures both plans at 1x and 10x input; the spread is the default
+    because AQE's byte-based coalescing otherwise folds the skinny pair
+    rows into a handful of tasks and serializes the CPU-bound scoring).
 
     Recall comes from two standard amplifiers: ``n_tables`` independent
     hash tables (OR-amplification — a neighbor missed by one table's
@@ -711,12 +718,25 @@ def lsh_cosine_topk(
         .join(tb, ["tbl", "bkt"])
         .filter(F.col("q_id") != F.col("b_id"))
         .select("q_id", "b_id")
-        .distinct()
-        # spread the skinny pair rows to full width before the
-        # CPU-bound exact-cosine scoring — AQE's byte-based coalescing
-        # would serialize it (see _confirm_cosine_pairs)
-        .repartition(emb.sparkSession.sparkContext.defaultParallelism)
     )
+    if spread:
+        # pin the dedup shuffle's width by hash-repartitioning on the
+        # grouping keys THEMSELVES: the distinct's aggregate reuses this
+        # exchange (clustered distribution satisfied), so full width
+        # costs ONE shuffle total — not distinct + an extra round-robin
+        # pass. Without it, AQE's byte-based coalescing folds the skinny
+        # pair rows into a handful of tasks and serializes the CPU-bound
+        # exact-cosine scoring (r4's separate-repartition version won at
+        # gate size but paid a second pair-set pass that LOST at 30x —
+        # measured in DIAG_LSH_SPREAD.json / scripts/diag_lsh_spread.py)
+        from gear5_spark.parallel import shuffle_width
+
+        spark = emb.sparkSession
+        width = max(
+            spark.sparkContext.defaultParallelism, shuffle_width(spark)
+        )
+        cand = cand.repartition(width, "q_id", "b_id")
+    cand = cand.dropDuplicates(["q_id", "b_id"])
     qv = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
