@@ -269,20 +269,65 @@ def fetch_records(
         after = page.next_after
 
 
+def flat_associations(records: list[dict]) -> list[dict]:
+    """Flatten nested CRM association maps into plain id arrays — parity
+    with ``flatAssociations`` (base_stream.go:297-339), which turns
+
+        {"associations": {"contacts": {"results":
+            [{"id": "201", "type": "company_to_contact"},
+             {"id": "251", "type": "company_to_contact"}]}}}
+
+    into ``{"contacts": ["201", "251"]}``. Matching the reference
+    exactly: the ``associations`` key is removed whenever present; each
+    association name becomes a top-level column (spaces -> ``_``) whose
+    value is the list of result ids — ALWAYS a list, empty when the
+    nested shape is missing or malformed (non-dict association, absent
+    ``results``, non-list ``results``); non-dict entries inside
+    ``results`` are skipped. Records without ``associations`` pass
+    through untouched. Runs driver-side on the fetched page list (the
+    serial-pagination stage); everything after ``createDataFrame``
+    stays distributed."""
+    out: list[dict] = []
+    for record in records:
+        if "associations" in record:
+            record = dict(record)  # never mutate the caller's page
+            value = record.pop("associations")
+            if isinstance(value, dict):
+                for name, assoc in value.items():
+                    ids: list[Any] = []
+                    if isinstance(assoc, dict):
+                        results = assoc.get("results")
+                        if isinstance(results, list):
+                            ids = [
+                                row["id"]
+                                for row in results
+                                if isinstance(row, dict) and "id" in row
+                            ]
+                    record[name.replace(" ", "_")] = ids
+        out.append(record)
+    return out
+
+
 def read_paginated(
     spark: SparkSession,
     fetch: FetchFn,
     stream: RestStream,
     state: CursorStateStore | None = None,
     all_string: bool = False,
+    flatten_associations: bool = False,
     sleep=time.sleep,
 ) -> tuple[DataFrame, Callable[[], Any]]:
     """Incremental REST read -> DataFrame + a ``commit()`` that folds the
     max cursor into state after the downstream write succeeds (the same
     contract as ``sources.incremental``). ``all_string=True`` applies
-    the Sheets all-string schema (utils.go:187-196)."""
+    the Sheets all-string schema (utils.go:187-196);
+    ``flatten_associations=True`` applies the CRM association
+    denormalization (base_stream.go:297-339) before the DataFrame is
+    built, so association ids land as array columns."""
     cur = state.get(stream.namespace, stream.name) if state else None
     records = fetch_records(fetch, stream, cursor_start=cur, sleep=sleep)
+    if flatten_associations:
+        records = flat_associations(records)
     if records:
         if all_string:
             keys = sorted({k for r in records for k in r})

@@ -427,3 +427,63 @@ def test_http_fetch_non_list_records_raises_cleanly():
             fetch({"limit": 1, "after": None})
     finally:
         srv.shutdown()
+
+
+def test_flat_associations_reference_shape():
+    # the exact transformation documented in base_stream.go:297-316
+    from gear5_spark.sources.rest import flat_associations
+
+    recs = [
+        {
+            "id": 1,
+            "associations": {
+                "contacts": {
+                    "results": [
+                        {"id": "201", "type": "company_to_contact"},
+                        {"id": "251", "type": "company_to_contact"},
+                    ]
+                },
+                "deal items": {"results": [{"id": "9"}]},
+            },
+        },
+        {"id": 2},  # no associations: passes through untouched
+        {
+            "id": 3,
+            "associations": {
+                "contacts": "garbage",          # non-dict association
+                "deals": {"results": "nope"},   # non-list results
+                "tickets": {},                  # missing results
+                "notes": {"results": [3, {"id": "7"}, {"x": 1}]},
+            },
+        },
+    ]
+    before = [dict(r) for r in recs]
+    out = flat_associations(recs)
+    assert out[0] == {"id": 1, "contacts": ["201", "251"],
+                      "deal_items": ["9"]}
+    assert out[1] == {"id": 2}
+    # malformed shapes degrade to empty id arrays, never crash
+    assert out[2] == {"id": 3, "contacts": [], "deals": [],
+                      "tickets": [], "notes": ["7"]}
+    # caller's page list is not mutated
+    assert recs == before
+
+
+def test_read_paginated_flattens_associations(spark):
+    from gear5_spark.sources.rest import Page as _Page
+
+    def fetch(params):
+        return _Page(records=[
+            {"id": 1, "associations": {
+                "contacts": {"results": [{"id": "201"}, {"id": "251"}]}}},
+            {"id": 2, "associations": {
+                "contacts": {"results": []}}},
+        ], next_after=None)
+
+    stream = RestStream("hub", "companies", page_size=100)
+    df, _ = read_paginated(spark, fetch, stream,
+                           flatten_associations=True)
+    rows = {r["id"]: r for r in (x.asDict() for x in df.collect())}
+    assert "associations" not in df.columns
+    assert rows[1]["contacts"] == ["201", "251"]
+    assert rows[2]["contacts"] == []
