@@ -405,8 +405,9 @@ def _q_embedding_norm(spark, sf_dir):
 
 def _q_semantic_dedup(spark, sf_dir):
     # SemDeDup-style cluster-scoped embedding dedup: 16-cluster
-    # deterministic quantizer (min-id — the DuckDB oracle recomputes the
-    # identical assignment, as in ivf_cosine_topk), within-cluster exact
+    # deterministic quantizer (the default 3-iteration Lloyd fit off
+    # the min-id seeds — the DuckDB oracle recomputes the identical
+    # unrolled fit, as in ivf_cosine_topk), within-cluster exact
     # cosine >= 0.35 edges, connected components, min-id canonical
     # (0.35 sits 3.6e-4 clear of the nearest pair cosine at sf0.01 —
     # no float-boundary hazard; 0.5 would match zero pairs on this
@@ -587,9 +588,10 @@ def _q_lsh_cosine_topk(spark, sf_dir):
 def _q_ivf_cosine_topk(spark, sf_dir):
     # IVF (inverted-file) ANN — the second standard scale path next to
     # sign-LSH: base vectors assigned once to their nearest centroid's
-    # list, queries probe their 4 nearest of 16 lists; the DuckDB oracle
-    # recomputes the identical deterministic quantization, so this is
-    # value-checked end to end (not just recall-sampled)
+    # list, queries probe their 4 nearest of 16 lists; the quantizer is
+    # the default deterministic 3-iteration Lloyd fit and the DuckDB
+    # oracle recomputes the identical unrolled fit + quantization, so
+    # this is value-checked end to end (not just recall-sampled)
     from gear5_spark.sim.ann import ivf_cosine_topk
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -1535,17 +1537,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         "semantic_dedup": (
             # identical deterministic quantization as the ivf oracle
-            # (min-id centroids, cosine-desc/cid-asc assignment), exact
-            # within-cluster all-pairs edges, recursive-CTE components
+            # (unrolled 3-iteration Lloyd fit off the min-id seeds —
+            # _kmeans_cte_sql mirrors sim.ann.kmeans_centroids
+            # bit-for-bit), exact within-cluster all-pairs edges,
+            # recursive-CTE components
             "WITH RECURSIVE v AS (SELECT vec_id, "
             "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec "
             "FROM embeddings), "
-            "c AS (SELECT vec_id AS cid, vec AS cvec FROM v "
-            "ORDER BY vec_id LIMIT 16), "
-            "ac AS (SELECT v.vec_id, c.cid, row_number() OVER ("
+            + _kmeans_cte_sql(16)
+            + "ac AS (SELECT v.vec_id, c.cid, row_number() OVER ("
             "PARTITION BY v.vec_id ORDER BY "
             "list_cosine_similarity(v.vec, c.cvec) DESC, c.cid ASC) AS rn "
-            "FROM v, c), "
+            "FROM v, c3 AS c), "
             "asg AS (SELECT vec_id, cid FROM ac WHERE rn = 1), "
             "e AS (SELECT a.vec_id AS da, b.vec_id AS db "
             "FROM asg a JOIN asg b ON a.cid = b.cid "
@@ -1567,12 +1570,11 @@ def oracle_sql() -> dict[str, str]:
             "WITH v AS (SELECT vec_id, "
             "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec "
             "FROM embeddings), "
-            "c AS (SELECT vec_id AS cid, vec AS cvec FROM v "
-            "ORDER BY vec_id LIMIT 16), "
-            "ac AS (SELECT v.vec_id, c.cid, row_number() OVER ("
+            + _kmeans_cte_sql(16)
+            + "ac AS (SELECT v.vec_id, c.cid, row_number() OVER ("
             "PARTITION BY v.vec_id ORDER BY "
             "list_cosine_similarity(v.vec, c.cvec) DESC, c.cid ASC) AS rn "
-            "FROM v, c), "
+            "FROM v, c3 AS c), "
             "base AS (SELECT vec_id AS b_id, cid AS list_id FROM ac "
             "WHERE rn = 1), "
             "probes AS (SELECT vec_id AS q_id, cid AS list_id FROM ac "
@@ -2048,6 +2050,37 @@ def _simhash_sql(shingle_n: int = 2, nbits: int = 60) -> str:
         + "FROM g a JOIN g b ON a.doc_id < b.doc_id "
         + "WHERE bit_count(xor(a.sig, b.sig)) <= 3"
     )
+
+
+def _kmeans_cte_sql(k: int, iterations: int = 3) -> str:
+    """Unrolled deterministic Lloyd fit mirroring
+    ``sim.ann.kmeans_centroids`` bit-for-bit: min-id seeds, cosine-desc
+    / cid-asc assignment, per-position means rounded to 9 decimals each
+    iteration (both sides round, so summation-order drift can't leak
+    into the next assignment), emptied lists keep their previous
+    centroid. Expects a CTE ``v(vec_id, vec)`` with DOUBLE[] vectors
+    already defined; emits ``c0 .. c{iterations}`` — read the fitted
+    quantizer from ``c{iterations}``."""
+    parts = [
+        f"c0 AS (SELECT vec_id AS cid, vec AS cvec FROM v "
+        f"ORDER BY vec_id LIMIT {k}), "
+    ]
+    for i in range(iterations):
+        parts.append(
+            f"a{i} AS (SELECT v.vec_id, v.vec, c.cid, row_number() OVER ("
+            f"PARTITION BY v.vec_id ORDER BY "
+            f"list_cosine_similarity(v.vec, c.cvec) DESC, c.cid ASC) AS rn "
+            f"FROM v, c{i} AS c), "
+            f"m{i} AS (SELECT cid, list(m ORDER BY pos) AS mvec FROM ("
+            f"SELECT cid, pos, round(avg(x), 9) AS m FROM ("
+            f"SELECT cid, generate_subscripts(vec, 1) AS pos, "
+            f"unnest(vec) AS x FROM a{i} WHERE rn = 1) "
+            f"GROUP BY cid, pos) GROUP BY cid), "
+            f"c{i + 1} AS (SELECT c{i}.cid, "
+            f"coalesce(m{i}.mvec, c{i}.cvec) AS cvec "
+            f"FROM c{i} LEFT JOIN m{i} USING (cid)), "
+        )
+    return "".join(parts)
 
 
 _JACCARD_SQL = (

@@ -424,13 +424,13 @@ def ivf_centroids(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> list[tuple[int, list[float]]]:
-    """Deterministic IVF coarse quantizer: the ``n_centroids`` vectors
-    with the smallest ids serve as centroids (a deterministic stand-in
-    for a k-means sample — at production scale, swap in centroids from a
-    k-means|| fit over a sample; everything downstream is unchanged).
-    Returned driver-side: centroids are O(k*dim) metadata, broadcast
-    into the assignment expression exactly like FAISS ships its coarse
-    quantizer to every worker."""
+    """Deterministic min-id seed centroids: the ``n_centroids`` vectors
+    with the smallest ids. These are the SEEDS for the default
+    :func:`kmeans_centroids` Lloyd fit; passed directly as
+    ``centroids=`` they skip the fit (useful when quantizer quality is
+    moot, e.g. full-probe tests). Returned driver-side: centroids are
+    O(k*dim) metadata, broadcast into the assignment expression exactly
+    like FAISS ships its coarse quantizer to every worker."""
     rows = (
         emb.select(id_col, vec_col)
         .orderBy(F.col(id_col).asc())
@@ -454,7 +454,16 @@ def kmeans_centroids(
     via ``posexplode`` + partial-aggregated ``avg`` (one shuffle of
     N*dim skinny rows per iteration), repeat. No RNG anywhere — seeds
     are the k min-id vectors, so two runs produce identical centroids.
-    An emptied list keeps its previous centroid (FAISS behavior)."""
+    An emptied list keeps its previous centroid (FAISS behavior).
+
+    Each iteration's means are rounded to 9 decimals before the next
+    assignment pass: double summation is order-sensitive, and shuffle
+    fetch order isn't guaranteed stable across runs or parallelism
+    levels — rounding well above the ~1e-15 drift floor makes the fit
+    bit-reproducible by construction (local[8] == local[32] == the
+    DuckDB oracle's unrolled-Lloyd recomputation, verified at the
+    gate), while 1e-9 centroid precision is irrelevant to a 16-way
+    argmax whose score gaps are ~1e-2."""
     cents = ivf_centroids(emb, k, vec_col, id_col)
     emb = fan_out(emb)  # once, outside the loop — not per iteration
     for _ in range(iterations):
@@ -482,7 +491,10 @@ def kmeans_centroids(
             )
             .collect()
         )
-        new = {int(r["list_id"]): [float(x) for x in r["vec"]] for r in means}
+        new = {
+            int(r["list_id"]): [round(float(x), 9) for x in r["vec"]]
+            for r in means
+        }
         cents = [(cid, new.get(cid, v)) for cid, v in cents]
     return cents
 
@@ -543,9 +555,14 @@ def ivf_cosine_topk(
     never cross-joined. Recall is measured against the exact answer in
     tests/test_sample_clusters.py, never assumed.
 
-    ``centroids`` overrides the default min-id quantizer — pass
-    :func:`kmeans_centroids` output for a data-adapted partitioning."""
-    cents = centroids or ivf_centroids(emb, n_centroids, vec_col, id_col)
+    ``centroids`` overrides the default quantizer — the deterministic
+    Lloyd-refined :func:`kmeans_centroids` fit (3 iterations off the
+    min-id seeds), which the DuckDB oracle recomputes exactly. Pass
+    :func:`ivf_centroids` output for the raw min-id seeds (skips the
+    fit's three aggregation passes when quantizer quality is moot)."""
+    cents = centroids or kmeans_centroids(
+        emb, n_centroids, 3, vec_col, id_col
+    )
     # norms once per ROW before the probe join (same shape as
     # cosine_topk) — inside the join each base vector is scored against
     # up to n_probe queries and each query against its whole candidate
@@ -627,10 +644,12 @@ def semantic_dedup(
     clusters at 10^9 embeddings (n/k ≈ 10^4); the default 16 is a
     small-corpus/test setting, not a scale setting.
 
-    ``centroids`` defaults to the deterministic min-id quantizer
-    (:func:`ivf_centroids` — DuckDB-reproducible, used by the oracle
-    gate); pass :func:`kmeans_centroids` output for the data-adapted
-    partitioning a production corpus wants. Output: (vec_id, cluster_id,
+    ``centroids`` defaults to the deterministic Lloyd-refined
+    :func:`kmeans_centroids` fit (3 iterations off the min-id seeds —
+    the data-adapted partitioning SemDeDup itself uses, and still
+    DuckDB-reproducible: the oracle gate recomputes the identical
+    unrolled fit); pass :func:`ivf_centroids` output to skip the fit
+    when quantizer quality is moot. Output: (vec_id, cluster_id,
     cluster_size, is_canonical) for every vector in a multi-member
     semantic-duplicate group — same shape as ``dedup_clusters``, so
     downstream keep/drop logic is shared."""
@@ -640,7 +659,9 @@ def semantic_dedup(
         connected_components,
     )
 
-    cents = centroids or ivf_centroids(emb, n_clusters, vec_col, id_col)
+    cents = centroids or kmeans_centroids(
+        emb, n_clusters, 3, vec_col, id_col
+    )
     banded = fan_out(emb).select(
         F.col(id_col).alias("doc_id"),
         F.lit(0).alias("band"),

@@ -357,12 +357,15 @@ def test_star_edges_survive_confirm_filter(spark):
 
 
 def test_semantic_dedup_matches_python_oracle(emb):
-    """Default (min-id) quantizer at the gate threshold vs an
+    """Explicit min-id quantizer at the gate threshold vs an
     independent driver-side numpy fold: assignment, edges, components,
-    canonicals all equal."""
+    canonicals all equal. (The numpy oracle hardcodes the min-id
+    seeds, so pin ``centroids=ivf_centroids(...)`` — the library
+    default is now the Lloyd-refined fit, whose oracle is the unrolled
+    DuckDB recomputation at the driver gate.)"""
     import numpy as np
 
-    from gear5_spark.sim.ann import semantic_dedup
+    from gear5_spark.sim.ann import ivf_centroids, semantic_dedup
 
     rows = sorted(
         ((r.vec_id, np.array(r.embedding, dtype=np.float64))
@@ -401,7 +404,9 @@ def test_semantic_dedup_matches_python_oracle(emb):
         expect[i] = find(i)
     got = {
         r.vec_id: (r.cluster_id, r.cluster_size, r.is_canonical)
-        for r in semantic_dedup(emb, threshold=0.35, n_clusters=16).collect()
+        for r in semantic_dedup(
+            emb, threshold=0.35, centroids=ivf_centroids(emb, 16)
+        ).collect()
     }
     assert set(got) == in_graph
     from collections import Counter
