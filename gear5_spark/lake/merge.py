@@ -112,23 +112,20 @@ def merge_into(
     snap = table.snapshot()
     key_cols = snap.properties["key_columns"]
 
-    data_col_names = {f.name for f in snap.schema.fields}
-    new_fields = [
+    # batch-driven evolution: new columns append, and an existing
+    # column whose batch type is WIDER evolves in place along the
+    # lattice (long -> double -> string). The widen is metadata-only —
+    # commit stamps the kept manifests with the written physical type
+    # and read_file_entries casts those eras up (see
+    # table.widen_column); a NARROWER batch type is absorbed (the
+    # _project/_side casts lift it), and an incompatible one raises.
+    batch_fields = [
         f
         for f in batch.schema.fields
-        if f.name not in data_col_names
-        and f.name not in (op_col, BUCKET_COL)
-        and f.name not in _FEED_META
+        if f.name not in (op_col, BUCKET_COL) and f.name not in _FEED_META
     ]
-    # allow_widen=False: an in-place widen (long -> double) would publish
-    # a schema the KEPT buckets' unrewritten parquet files cannot be read
-    # through — batch-driven evolution is additive-only (the CDC registry
-    # never retypes a key, so this is unreachable from the pipeline; it
-    # guards direct API use)
     evolved, changes = merge_schemas(
-        snap.schema,
-        T.StructType(list(snap.schema.fields) + new_fields),
-        allow_widen=False,
+        snap.schema, T.StructType(batch_fields), allow_widen=True
     )
     write_schema = T.StructType(
         list(evolved.fields) + [T.StructField(BUCKET_COL, T.IntegerType(), True)]

@@ -50,20 +50,19 @@ def merge_delta(
     ``LakeTable.write_data_files`` — an upstream identity placement lets
     the delta write skip its repartition shuffle."""
     snap = table.snapshot()
-    data_col_names = {f.name for f in snap.schema.fields}
-    new_fields = [
+    # same evolution contract as the CoW path (lake/merge.py): new
+    # columns append, wider batch types widen the schema in place
+    # (metadata-only — commit stamps the kept base/delta manifests with
+    # their written physical types and reconstruct casts the eras up),
+    # narrower ones are absorbed by the cast below
+    batch_fields = [
         f
         for f in batch.schema.fields
-        if f.name not in data_col_names
-        and f.name not in (op_col, OP_COL, BUCKET_COL)
+        if f.name not in (op_col, OP_COL, BUCKET_COL)
         and f.name not in _FEED_META
     ]
-    # additive-only like the CoW path: widening would break base files
-    # that reconstruct() still reads (see lake/merge.py)
     evolved, _changes = merge_schemas(
-        snap.schema,
-        T.StructType(list(snap.schema.fields) + new_fields),
-        allow_widen=False,
+        snap.schema, T.StructType(batch_fields), allow_widen=True
     )
 
     keyed = batch.withColumn(BUCKET_COL, table.bucket_expr(snap))
@@ -102,8 +101,6 @@ def reconstruct(
 
     One keyed shuffle (max_by over ``(_cdc_lsn, delta-wins-ties)``) —
     identical machinery to the micro-batch dedup, applied at read time."""
-    import os
-
     key_cols = snap.properties["key_columns"]
     read_schema = T.StructType(
         list(snap.schema.fields)
@@ -112,11 +109,12 @@ def reconstruct(
             T.StructField(OP_COL, T.StringType(), True),
         ]
     )
-    if not files:
-        df = table.spark.createDataFrame([], read_schema)
-    else:
-        paths = [os.path.join(table.table_dir, f["path"]) for f in files]
-        df = table.spark.read.schema(read_schema).parquet(*paths)
+    from gear5_spark.lake.table import read_file_entries
+
+    # era-aware read (in-place widening): base/delta files written
+    # before a widen commit carry narrower physical types — group by
+    # era, cast up, union (see table.read_file_entries)
+    df = read_file_entries(table.spark, table.table_dir, files, read_schema)
     # ordering mirrors the CoW guard (merge.py): a NULL or unparseable
     # LSN on a DELTA row wins (CoW: coalesce(b>=t, True) makes the
     # batch win whenever either LSN is NULL/unparseable), a NULL or

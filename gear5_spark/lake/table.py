@@ -253,9 +253,76 @@ def _resolve_files(
     out: list[dict[str, Any]] = []
     for m in manifest_list:
         live = set(m["buckets"])
-        out.extend(
-            f for f in _load_manifest(table_dir, m["path"]) if f["bucket"] in live
+        phys = m.get("physical")
+        for f in _load_manifest(table_dir, m["path"]):
+            if f["bucket"] not in live:
+                continue
+            if phys:
+                # in-place widening era marker: every file of this
+                # manifest was written BEFORE the widen commit(s), so
+                # its parquet columns carry these narrower physical
+                # types — the read path casts through them
+                f = dict(f)
+                f["physical"] = phys
+            out.append(f)
+    return out
+
+
+def read_file_entries(
+    spark,
+    table_dir: str,
+    files: list[dict[str, Any]],
+    read_schema: T.StructType,
+) -> DataFrame:
+    """Read manifest entries as ``read_schema``, casting through their
+    ``physical`` era annotations (in-place column widening,
+    :meth:`LakeTable.widen_column` / ``merge_schemas(allow_widen=True)``).
+
+    Entries are grouped by physical-type signature — one parquet scan
+    per WRITE ERA, each opened with the types its files actually hold,
+    cast up to the logical schema, then unioned. A widen is therefore a
+    metadata-only commit (no data file rewritten — at 100 TB a retype
+    must not be an O(table) rewrite; same stance as Iceberg/Delta type
+    widening). Era count is O(#widen commits) and every rewrite path
+    (merge, compaction, rebucket) re-types the files it touches, so
+    eras decay to one; each union branch keeps its own parquet pushdown
+    and the un-widened columns' filters still reach the scan."""
+    names = {f.name for f in read_schema.fields}
+    groups: dict[tuple, list[dict[str, Any]]] = {}
+    for e in files:
+        phys = e.get("physical") or {}
+        key = tuple(sorted((c, t) for c, t in phys.items() if c in names))
+        groups.setdefault(key, []).append(e)
+    parts = []
+    for key in sorted(groups):
+        over = dict(key)
+        era_schema = T.StructType(
+            [
+                T.StructField(
+                    f.name,
+                    T._parse_datatype_string(over[f.name])
+                    if f.name in over
+                    else f.dataType,
+                    True,
+                )
+                for f in read_schema.fields
+            ]
         )
+        paths = [os.path.join(table_dir, e["path"]) for e in groups[key]]
+        df = spark.read.schema(era_schema).parquet(*paths)
+        if over:
+            df = df.select(
+                *[
+                    F.col(f.name).cast(f.dataType).alias(f.name)
+                    for f in read_schema.fields
+                ]
+            )
+        parts.append(df)
+    if not parts:
+        return spark.createDataFrame([], read_schema)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
     return out
 
 
@@ -411,11 +478,7 @@ class LakeTable:
 
             return reconstruct(self, snap, files, with_internal=with_internal)
         read_schema = self._read_schema(snap)
-        if not files:
-            df = self.spark.createDataFrame([], read_schema)
-        else:
-            paths = [os.path.join(self.table_dir, f["path"]) for f in files]
-            df = self.spark.read.schema(read_schema).parquet(*paths)
+        df = read_file_entries(self.spark, self.table_dir, files, read_schema)
         if not with_internal:
             df = df.select(*[f.name for f in snap.schema.fields])
         return df
@@ -676,23 +739,64 @@ class LakeTable:
         return entries
 
     def _build_manifest_list(
-        self, parent: Snapshot, files: list[dict[str, Any]], version: int
+        self,
+        parent: Snapshot,
+        files: list[dict[str, Any]],
+        version: int,
+        widened: dict[str, str] | None = None,
     ) -> list[dict[str, Any]]:
         """Diff ``files`` (the full logical set) against the parent:
         entries the parent already tracked stay attributed to their
         original manifests (liveness updated at bucket granularity —
         every rewrite path in this engine keeps or drops whole buckets
         per manifest); genuinely new entries land in ONE new per-commit
-        manifest file. O(new files + manifests), never O(table files)."""
+        manifest file. O(new files + manifests), never O(table files).
+
+        ``widened`` ({column: parent physical type}) marks an in-place
+        widening commit: every KEPT parent manifest inherits the era map
+        (``setdefault`` — a manifest already annotated from an earlier
+        widen keeps its own, narrower, written type), while this
+        commit's new manifest is written post-widen and needs none."""
         want_paths = {f["path"] for f in files}
         parent_paths = {f["path"] for f in parent.files}
         new_entries = [f for f in files if f["path"] not in parent_paths]
 
+        def _kept_physical(m: dict[str, Any]) -> dict[str, Any]:
+            phys = dict(m.get("physical") or {})
+            for c, t in (widened or {}).items():
+                phys.setdefault(c, t)
+            return {"physical": phys} if phys else {}
+
         m_list: list[dict[str, Any]] = []
         if parent.manifest_list is None:
             # legacy inline-files parent: fold its surviving entries into
-            # this commit's manifest (one-time conversion)
-            new_entries = list(files)
+            # this commit's manifest (one-time conversion). A widening
+            # commit must keep the eras apart — the parent's surviving
+            # files (pre-widen physical types) go into their own
+            # annotated manifest, this commit's new files into the
+            # unannotated one.
+            if widened:
+                kept = [f for f in files if f["path"] in parent_paths]
+                if kept:
+                    rel = os.path.join(
+                        MANIFEST_DIR,
+                        f"m-{version:08d}-{uuid.uuid4().hex[:12]}.json",
+                    )
+                    self.backend.put_if_absent(
+                        os.path.join(self.table_dir, rel),
+                        json.dumps(
+                            {"files": kept}, separators=(",", ":")
+                        ).encode(),
+                    )
+                    m_list.append(
+                        {
+                            "path": rel,
+                            "buckets": sorted({f["bucket"] for f in kept}),
+                            "physical": dict(widened),
+                        }
+                    )
+            else:
+                new_entries = list(files)
         else:
             for m in parent.manifest_list:
                 live = set(m["buckets"])
@@ -710,7 +814,13 @@ class LakeTable:
                             f"partial-bucket drop in {m['path']} bucket {b}"
                         )
                 if keep:
-                    m_list.append({"path": m["path"], "buckets": sorted(keep)})
+                    m_list.append(
+                        {
+                            "path": m["path"],
+                            "buckets": sorted(keep),
+                            **_kept_physical(m),
+                        }
+                    )
         if new_entries:
             rel = os.path.join(
                 MANIFEST_DIR, f"m-{version:08d}-{uuid.uuid4().hex[:12]}.json"
@@ -797,8 +907,12 @@ class LakeTable:
                 if schema is not None:
                     from gear5_spark.operators.typing import merge_schemas
 
+                    # allow_widen: a widening commit racing another
+                    # writer is safe — _commit_once recomputes the era
+                    # map against the WINNER's schema, so the winner's
+                    # files (written pre-widen) get annotated too
                     schema, _ = merge_schemas(
-                        current.schema, schema, allow_widen=False
+                        current.schema, schema, allow_widen=True
                     )
                 base = current
             try:
@@ -875,7 +989,21 @@ class LakeTable:
             entry["snapshot_version"] = version
             entry["committed_at_ms"] = now_ms
             lin.append(entry)
-        m_list = self._build_manifest_list(parent, files, version)
+        # in-place widening: when this commit publishes a schema that
+        # retypes existing columns (merge_schemas allow_widen /
+        # widen_column), every file the PARENT tracked still physically
+        # holds the narrower type — stamp the kept manifests with the
+        # era map so reads cast through it (read_file_entries). Pure
+        # metadata: O(#manifests), no file rewritten.
+        widened: dict[str, str] = {}
+        if schema is not None:
+            new_by = {f.name: f.dataType for f in schema.fields}
+            widened = {
+                f.name: f.dataType.simpleString()
+                for f in parent.schema.fields
+                if f.name in new_by and new_by[f.name] != f.dataType
+            }
+        m_list = self._build_manifest_list(parent, files, version, widened)
         snap = Snapshot(
             version=version,
             snapshot_id=snapshot_id,
@@ -1016,6 +1144,44 @@ class LakeTable:
         # basis=snap: a commit racing into this read-modify-write window
         # must REBASE (or conflict), not be silently reverted by the
         # stale file list captured above
+        return self.commit(files=snap.files, schema=evolved, basis=snap)
+
+    def widen_column(self, name: str, dtype: T.DataType | str) -> Snapshot:
+        """ALTER TABLE ALTER COLUMN TYPE — widening only, along the
+        lattice (``operators.typing.can_widen``; narrowing refused).
+
+        Metadata-only at any scale: no data file is rewritten. The
+        commit stamps kept manifests with the column's written physical
+        type and :func:`read_file_entries` casts those eras up on read;
+        every rewrite path (merge, compaction, rebucket) re-types the
+        files it touches, so eras decay back to one. Reference parity:
+        the LCA type walk at ``typeutils/fields.go:182-205`` — there
+        applied per record batch, here once per schema change."""
+        from gear5_spark.operators.typing import can_widen
+
+        if isinstance(dtype, str):
+            dtype = T._parse_datatype_string(dtype)
+        snap = self.snapshot()
+        by = {f.name: f.dataType for f in snap.schema.fields}
+        if name not in by:
+            raise SchemaEvolutionError(
+                f"column {name} does not exist (add_column for new "
+                "columns)"
+            )
+        if by[name] == dtype:
+            return snap
+        if not can_widen(by[name], dtype):
+            raise SchemaEvolutionError(
+                f"cannot retype {name}: {by[name].simpleString()} -> "
+                f"{dtype.simpleString()} is not a lattice widening "
+                "(narrowing never)"
+            )
+        evolved = T.StructType(
+            [
+                T.StructField(name, dtype, True) if f.name == name else f
+                for f in snap.schema.fields
+            ]
+        )
         return self.commit(files=snap.files, schema=evolved, basis=snap)
 
     def rebucket(self, n_buckets: int) -> Snapshot:

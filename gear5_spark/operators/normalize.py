@@ -375,3 +375,77 @@ def _normalize_pandas(df: DataFrame, specs: list[PayloadField]) -> DataFrame:
 
     typed = df.mapInPandas(transform, schema=out_schema)
     return stamp_cdc_columns(typed)
+
+
+# -------------------------------------------------------- widening detection
+
+
+def detect_widening(df: DataFrame, specs) -> dict[str, str]:
+    """Per-batch type-flip probe (ST7): find registered scalar keys
+    whose CURRENT batch carries values the registered token would
+    coerce LOSSILY — ``coerce_long`` truncating ``2.5``, a numeric
+    token nulling ``"abc"`` — and return ``{column: widened token}``
+    (lattice-up only: long→double→string, boolean→long/double/string).
+
+    The reference observes every record's type and widens the record
+    schema via the LCA walk (``typeutils/fields.go:182-205``); a
+    columnar engine cannot retype mid-batch, so the applier runs this
+    ONE constant-width aggregate over the persisted deduped winners
+    BEFORE the parse, re-registers, and re-plans the batch with the
+    widened token — the flip batch itself lands lossless, and the lake
+    widens its schema in place (metadata-only; lake/table.py
+    ``read_file_entries``). Returns ``{}`` with NO Spark job when no
+    registered key is widenable: ``string`` is the lattice top, and
+    timestamp tokens' parse failures degrade to NULL by the documented
+    F5 contract (a flip away from timestamps is a broken feed, not a
+    widening).
+
+    Detection mirrors the coercers exactly: boolean-word tokens on a
+    numeric key stay non-lossy (``coerce_long``/``coerce_double``
+    deliberately NULL them — reformat.go semantics), so a stray
+    ``"yes"`` never forces a column to string."""
+    watched = [s for s in specs if s.token in ("boolean", "long", "double")]
+    if not watched:
+        return {}
+    parse_schema = T.StructType(
+        [T.StructField(s.source, T.StringType(), True) for s in watched]
+    )
+    a = F.from_json(F.col("after_json"), parse_schema)
+    aggs = []
+    kinds: list[tuple[str, str]] = []
+    for s in watched:
+        raw = a.getField(s.source)
+        d = raw.try_cast("double")
+        lng = raw.try_cast("long")
+        is_bool_word = F.lower(F.trim(raw)).isin(*_TRUE_SET, *_FALSE_SET)
+        to_string = raw.isNotNull() & d.isNull() & ~is_bool_word
+        # a value only double can hold: fractional ("2.5"), or beyond
+        # long range ("9e99") — huge integral longs are NOT flagged
+        # (their decimal string and the long→double cast round to the
+        # same double, so the comparison stays quiet)
+        to_double = d.isNotNull() & (
+            lng.isNull() | (lng.cast("double") != d)
+        )
+        if s.token == "boolean":
+            checks = [
+                ("long", ~is_bool_word & lng.isNotNull()),
+                ("double", ~is_bool_word & to_double),
+                ("string", to_string),
+            ]
+        elif s.token == "long":
+            checks = [("double", to_double), ("string", to_string)]
+        else:  # double
+            checks = [("string", to_string)]
+        for kind, cond in checks:
+            aggs.append(
+                F.max(cond.cast("int")).alias(f"_w{len(aggs)}")
+            )
+            kinds.append((s.col, kind))
+    row = df.agg(*aggs).first()
+    rank = {"long": 1, "double": 2, "string": 3}
+    out: dict[str, str] = {}
+    for (col, kind), hit in zip(kinds, row):
+        if hit:
+            if col not in out or rank[kind] > rank[out[col]]:
+                out[col] = kind
+    return out

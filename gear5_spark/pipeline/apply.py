@@ -121,6 +121,15 @@ class TranscriptsApplier:
     # metadata reads only, never an extra Spark job over the batch
     partition_lineage: bool = True
     exclude_columns: list[str] = field(default_factory=list)  # P2
+    # ST7 beyond-additive: when a registered scalar key's values flip
+    # to a wider type mid-stream (long→double, numeric→text), detect it
+    # BEFORE the parse (operators/normalize.detect_widening — one
+    # constant-width aggregate over the persisted winners, skipped with
+    # zero cost when no registered token is widenable), re-register the
+    # widened token, and let the merge widen the table schema in place
+    # (metadata-only, lake/table.read_file_entries). Off → the legacy
+    # pin-at-first-observation behavior (flips coerce lossily).
+    auto_widen: bool = True
     # physical plan for the per-batch dedup (regime tradeoff):
     #   "fused"   — one shuffle of the raw payload keyed by the table's
     #               placement slot; the groupBy then runs exchange-free
@@ -610,6 +619,23 @@ class TranscriptsApplier:
                 for s in _registry_specs(registry)
                 if s.col not in set(self.exclude_columns)
             ]
+            if self.auto_widen:
+                from gear5_spark.operators.normalize import detect_widening
+
+                with span("apply.widen_detect"):
+                    flips = detect_widening(deduped_raw, specs)
+                if flips:
+                    for col, tok in flips.items():
+                        registry[col] = {**registry[col], "type": tok}
+                    self.save_registry(registry)
+                    specs = [
+                        PayloadField(
+                            col=s.col,
+                            token=flips.get(s.col, s.token),
+                            source=s.source,
+                        )
+                        for s in specs
+                    ]
             deduped = normalize_changes(
                 deduped_raw, specs, mode=self.normalize_mode,
             )

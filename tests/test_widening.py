@@ -1,0 +1,288 @@
+"""In-place type widening (VERDICT r4 item 7).
+
+The reference widens record types along the LCA lattice per batch
+(``typeutils/fields.go:182-205``); here the lattice drives a
+metadata-only schema commit: no data file is rewritten, kept manifests
+are stamped with the written PHYSICAL type of each widened column
+(``_build_manifest_list``), and ``read_file_entries`` opens each era
+with its written types and casts up. Rewrite paths (merge, compaction)
+re-type the files they touch, so eras decay back to one.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from gear5_spark.lake.merge import merge_into
+from gear5_spark.lake.table import LakeTable, SchemaEvolutionError
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.StringType(), False),
+        T.StructField("v", T.LongType(), True),
+        T.StructField("w", T.LongType(), True),
+        T.StructField("_cdc_lsn", T.StringType(), True),
+    ]
+)
+
+
+def _batch_schema(v_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("k", T.StringType(), False),
+            T.StructField("v", v_type, True),
+            T.StructField("w", T.LongType(), True),
+            T.StructField("_cdc_lsn", T.StringType(), True),
+            T.StructField("op", T.StringType(), False),
+        ]
+    )
+
+
+def _mk(spark, tmp_path, name="t"):
+    return LakeTable.create(
+        spark,
+        str(tmp_path / name),
+        schema=SCHEMA,
+        key_columns=["k"],
+        n_buckets=4,
+    )
+
+
+def _rows(t):
+    return {
+        r["k"]: (r["v"], r["w"])
+        for r in t.read().select("k", "v", "w").collect()
+    }
+
+
+def test_merge_widens_long_to_double_both_eras_read_back(spark, tmp_path):
+    """A batch whose ``v`` arrives as double widens the table in place;
+    rows written in the long era read back exactly through the cast."""
+    t = _mk(spark, tmp_path)
+    merge_into(
+        t,
+        spark.createDataFrame(
+            [("a", 1, 10, "1", "insert"), ("b", 2, 20, "1", "insert")],
+            _batch_schema(T.LongType()),
+        ),
+    )
+    assert dict(t.schema["v"].jsonValue().items())["type"] == "long"
+
+    merge_into(
+        t,
+        spark.createDataFrame(
+            [("c", 2.5, 30, "2", "insert")], _batch_schema(T.DoubleType())
+        ),
+    )
+    assert t.schema["v"].dataType == T.DoubleType()
+    # era annotation present on the kept (pre-widen) manifests only
+    snap = t.snapshot()
+    phys = [m.get("physical") for m in snap.manifest_list]
+    assert {"v": "bigint"} in phys
+    assert any(p is None for p in phys)
+    assert _rows(t) == {"a": (1.0, 10), "b": (2.0, 20), "c": (2.5, 30)}
+
+
+def test_widened_era_values_exact_after_update(spark, tmp_path):
+    """Updating a long-era key after the widen rewrites its bucket in
+    the new physical type; untouched buckets still cast up."""
+    t = _mk(spark, tmp_path)
+    rows = [(f"k{i}", i, i, "1", "insert") for i in range(20)]
+    merge_into(t, spark.createDataFrame(rows, _batch_schema(T.LongType())))
+    merge_into(
+        t,
+        spark.createDataFrame(
+            [("k3", 3.75, 99, "2", "update")], _batch_schema(T.DoubleType())
+        ),
+    )
+    got = _rows(t)
+    assert got["k3"] == (3.75, 99)
+    assert all(
+        got[f"k{i}"] == (float(i), i) for i in range(20) if i != 3
+    )
+
+
+def test_long_to_string_widen(spark, tmp_path):
+    """String is the lattice top: a string-typed batch retypes ``v``
+    and the long era reads back as decimal strings."""
+    t = _mk(spark, tmp_path)
+    merge_into(
+        t,
+        spark.createDataFrame(
+            [("a", 7, 1, "1", "insert")], _batch_schema(T.LongType())
+        ),
+    )
+    merge_into(
+        t,
+        spark.createDataFrame(
+            [("b", "seven", 2, "2", "insert")], _batch_schema(T.StringType())
+        ),
+    )
+    assert t.schema["v"].dataType == T.StringType()
+    assert _rows(t) == {"a": ("7", 1), "b": ("seven", 2)}
+
+
+def test_narrowing_batch_is_absorbed_not_raised(spark, tmp_path):
+    """After the widen, a feed that reverts to longs is absorbed (cast
+    up on write) — the schema never narrows back."""
+    t = _mk(spark, tmp_path)
+    merge_into(
+        t,
+        spark.createDataFrame(
+            [("a", 0.5, 1, "1", "insert")], _batch_schema(T.DoubleType())
+        ),
+    )
+    merge_into(
+        t,
+        spark.createDataFrame(
+            [("b", 4, 2, "2", "insert")], _batch_schema(T.LongType())
+        ),
+    )
+    assert t.schema["v"].dataType == T.DoubleType()
+    assert _rows(t) == {"a": (0.5, 1), "b": (4.0, 2)}
+
+
+def test_incompatible_change_still_raises(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    bad = T.StructType(
+        [
+            T.StructField("k", T.StringType(), False),
+            T.StructField("w", T.ArrayType(T.LongType()), True),
+            T.StructField("op", T.StringType(), False),
+        ]
+    )
+    with pytest.raises(SchemaEvolutionError):
+        merge_into(t, spark.createDataFrame([("a", [1], "insert")], bad))
+
+
+def test_widen_column_ddl(spark, tmp_path):
+    """Explicit ALTER COLUMN TYPE: metadata-only, values preserved."""
+    t = _mk(spark, tmp_path)
+    merge_into(
+        t,
+        spark.createDataFrame(
+            [("a", 41, 1, "1", "insert")], _batch_schema(T.LongType())
+        ),
+    )
+    files_before = {f["path"] for f in t.snapshot().files}
+    t.widen_column("v", "double")
+    snap = t.snapshot()
+    assert {f["path"] for f in snap.files} == files_before  # no rewrite
+    assert snap.schema["v"].dataType == T.DoubleType()
+    assert _rows(t) == {"a": (41.0, 1)}
+    with pytest.raises(SchemaEvolutionError):
+        t.widen_column("v", "long")  # narrowing never
+    with pytest.raises(SchemaEvolutionError):
+        t.widen_column("missing", "string")
+
+
+def test_chained_widens_keep_oldest_physical(spark, tmp_path):
+    """long -> double -> string across three eras: each file reads
+    through the type it was WRITTEN with (setdefault keeps the oldest
+    annotation), and all three eras coexist in one read."""
+    t = _mk(spark, tmp_path)
+    merge_into(
+        t,
+        spark.createDataFrame(
+            [("a", 3, 1, "1", "insert")], _batch_schema(T.LongType())
+        ),
+    )
+    merge_into(
+        t,
+        spark.createDataFrame(
+            [("b", 2.5, 2, "2", "insert")], _batch_schema(T.DoubleType())
+        ),
+    )
+    merge_into(
+        t,
+        spark.createDataFrame(
+            [("c", "x", 3, "3", "insert")], _batch_schema(T.StringType())
+        ),
+    )
+    assert t.schema["v"].dataType == T.StringType()
+    got = _rows(t)
+    assert got["c"] == ("x", 3) and got["b"] == ("2.5", 2)
+    # the long-era value must NOT have gone through double ("3.0")
+    assert got["a"] == ("3", 1)
+
+
+def test_mor_delta_widen_and_compaction_clears_era(spark, tmp_path):
+    """MoR: a double delta over a long base reconstructs correctly;
+    compaction rewrites the touched buckets in the new physical type."""
+    from gear5_spark.lake.mor import compact, merge_delta
+
+    t = _mk(spark, tmp_path)
+    merge_into(
+        t,
+        spark.createDataFrame(
+            [("a", 1, 10, "1", "insert"), ("b", 2, 20, "1", "insert")],
+            _batch_schema(T.LongType()),
+        ),
+    )
+    merge_delta(
+        t,
+        spark.createDataFrame(
+            [("a", 1.5, 11, "2", "update")], _batch_schema(T.DoubleType())
+        ),
+    )
+    assert t.schema["v"].dataType == T.DoubleType()
+    assert _rows(t) == {"a": (1.5, 11), "b": (2.0, 20)}
+    compact(t)
+    snap = t.snapshot()
+    assert not any(f.get("kind") == "delta" for f in snap.files)
+    assert _rows(t) == {"a": (1.5, 11), "b": (2.0, 20)}
+    # compacted buckets were rewritten post-widen: no resolved file in
+    # them still carries a physical annotation for v
+    compacted = {
+        f["bucket"] for f in snap.files if not (f.get("physical") or {})
+    }
+    assert compacted  # at least the rewritten buckets are era-free
+
+
+def test_widen_plan_stays_two_scans_one_union(spark, tmp_path):
+    """The typed view is a union of per-era scans — no shuffle, no UDF;
+    filters on un-widened columns still push into both branches."""
+    t = _mk(spark, tmp_path)
+    merge_into(
+        t,
+        spark.createDataFrame(
+            [("a", 1, 10, "1", "insert")], _batch_schema(T.LongType())
+        ),
+    )
+    merge_into(
+        t,
+        spark.createDataFrame(
+            [("b", 2.5, 20, "2", "insert")], _batch_schema(T.DoubleType())
+        ),
+    )
+    df = t.read().filter(F.col("w") > 5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Union" in plan
+    assert "Exchange" not in plan
+    assert plan.count("Scan parquet") == 2
+    # w is not widened: its filter reaches parquet in both era branches
+    assert plan.count("PushedFilters: [IsNotNull(w), GreaterThan(w,5)]") == 2
+
+
+def test_time_travel_before_widen_reads_old_schema(spark, tmp_path):
+    """A snapshot pinned before the widen still reads with (and casts
+    to) ITS schema — history is immutable."""
+    t = _mk(spark, tmp_path)
+    merge_into(
+        t,
+        spark.createDataFrame(
+            [("a", 1, 10, "1", "insert")], _batch_schema(T.LongType())
+        ),
+    )
+    v1 = t.snapshot()
+    merge_into(
+        t,
+        spark.createDataFrame(
+            [("b", 2.5, 20, "2", "insert")], _batch_schema(T.DoubleType())
+        ),
+    )
+    old = t.read(snapshot=t.snapshot(v1.version))
+    assert old.schema["v"].dataType == T.LongType()
+    assert {r["k"]: r["v"] for r in old.collect()} == {"a": 1}
