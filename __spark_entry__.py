@@ -685,11 +685,13 @@ def _q_stratified_sample(spark, sf_dir):
     ).select("event_id", "event_type", "user_id", "ts")
 
 
-def _derived_changes(spark, sf_dir):
+def _derived_changes(spark, sf_dir, extra_payload=None):
     """Deterministic change feed derived from the (oracle-visible) events
     table, so the full engine replay is verifiable by a DuckDB
     last-write-wins fold over the same rows: key = (conv-<user_id>,
-    props.k % 8), lsn = event_id, 'error' events are deletes."""
+    props.k % 8), lsn = event_id, 'error' events are deletes.
+    ``extra_payload``: {json key: Column over the events columns} merged
+    into the payload (the widening entry injects a type-flipping ``m``)."""
     ev = _t(spark, sf_dir, "events").withColumn(
         "ts", F.col("ts").cast("timestamp")
     )
@@ -698,6 +700,10 @@ def _derived_changes(spark, sf_dir):
             F.col("event_type").alias("role"),
             F.concat(F.lit("msg-"), F.col("event_id")).alias("text"),
             F.unix_seconds(F.col("ts")).alias("ts"),
+            *[
+                expr.alias(k)
+                for k, expr in sorted((extra_payload or {}).items())
+            ],
         )
     )
     op = (
@@ -806,6 +812,58 @@ def _q_cdc_replay_digest(spark, sf_dir):
             )
         )
         return spark.createDataFrame(digest.collect(), digest.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _q_widening_replay(spark, sf_dir):
+    # ST7 BEYOND-additive under the driver oracle: the same derived
+    # change feed carries a numeric payload key `m` that flips from
+    # long (m = lsn) to double (m = lsn + 0.5) at the feed's median
+    # lsn, applied as TWO micro-batches through the full engine. Batch
+    # 0 registers m as long; batch 1's pre-parse flip probe
+    # (operators/normalize.detect_widening) re-types it double, the
+    # merge widens the lake schema IN PLACE (metadata-only — kept
+    # manifests carry the written physical type,
+    # lake/table.read_file_entries casts the long era up on read), and
+    # the DuckDB oracle re-folds the identical feed with m typed double
+    # from the start — so both eras' values, the flip batch's losslessness
+    # (2.5 never truncating to 2), and the final schema are all
+    # value-checked. Reference parity: typeutils/fields.go:182-205.
+    import shutil
+    import tempfile
+
+    from gear5_spark.pipeline.runner import bootstrap_table, make_applier
+
+    probe = _derived_changes(spark, sf_dir)
+    flip = probe.agg(F.max("lsn")).first()[0] // 2 + 1
+    b0 = _derived_changes(
+        spark, sf_dir,
+        extra_payload={"m": F.col("event_id").cast("long")},
+    ).filter(F.col("lsn") < flip)
+    b1 = _derived_changes(
+        spark, sf_dir,
+        extra_payload={"m": (F.col("event_id") + F.lit(0.5)).cast("double")},
+    ).filter(F.col("lsn") >= flip)
+    work = tempfile.mkdtemp(prefix="gear5-owiden-")
+    try:
+        table = bootstrap_table(spark, os.path.join(work, "t"), n_buckets=8)
+        applier = make_applier(
+            table, os.path.join(work, "c"), app_id="oracle-widen",
+            order_guard=False,
+        )
+        applier(b0, 0)
+        applier(b1, 1)
+        df = table.read().select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            # no cast: if the widen failed and m stayed long, the
+            # driver's schema check vs the double-typed oracle fails
+            "m",
+            F.col("_cdc_lsn").cast("long").alias("last_lsn"),
+        )
+        return spark.createDataFrame(df.collect(), df.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -1238,7 +1296,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_cosine_topk": _q_lsh_cosine_topk,
         "ivf_cosine_topk": _q_ivf_cosine_topk,
         "dedup_clusters": _q_dedup_clusters,
-        "stratified_sample": _q_stratified_sample,
         "corpus_curation": _q_corpus_curation,
         "decontamination": _q_decontamination,
         "repetition_metrics": _q_repetition_metrics,
@@ -1246,6 +1303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_packing": _q_sequence_packing,
         "cdc_replay": _q_cdc_replay,
         "cdc_replay_digest": _q_cdc_replay_digest,
+        "widening_replay": _q_widening_replay,
         "payload_inference": _q_payload_inference,
         "snapshot_diff": _q_snapshot_diff,
         "media_features": _q_media_features,
@@ -1257,7 +1315,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # locally oracle-verified every round by scripts/check_oracle.py.
         # Every tail entry below has 3 rounds of green driver history
         # (r2+r3+r4) — rotated back this round to fund driver rows for
-        # the returning r4 tail cohort and the new skew entry ---
+        # the returning r4 tail cohort, the new skew entry, and the
+        # widening entry ---
+        "stratified_sample": _q_stratified_sample,
         "quality_score": _q_quality_score,
         "gopher_quality": _q_gopher_quality,
         "lang_id": _q_lang_id,
@@ -1741,6 +1801,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(fp % 64 AS INT) AS grp, count(*) AS n_rows, "
             "bit_xor(fp) AS fp_xor, min(fp) AS fp_min, max(fp) AS fp_max "
             "FROM f GROUP BY 1"
+        ),
+        "widening_replay": (
+            # same last-write-wins fold as cdc_replay, with the
+            # type-flipping payload key m typed DOUBLE from the start:
+            # m = lsn (integral) below the median-lsn flip point,
+            # lsn + 0.5 at/above it. The engine registers m long in
+            # batch 0 and must widen in place for batch 1 — a truncated
+            # flip value (2 for 2.5), a lossy long era, or a schema
+            # stuck at long all hash- or schema-mismatch here.
+            f"WITH {_DERIVED_CHANGES_SQL}, "
+            "fl AS (SELECT max(event_id) // 2 + 1 AS flip FROM events), "
+            "w AS (SELECT *, row_number() OVER (PARTITION BY conv_id, "
+            "turn_idx ORDER BY lsn DESC, txn_seq DESC) AS rn FROM ch) "
+            "SELECT conv_id, turn_idx, role, "
+            "CASE WHEN lsn < (SELECT flip FROM fl) "
+            "THEN CAST(lsn AS DOUBLE) ELSE lsn + 0.5 END AS m, "
+            "lsn AS last_lsn "
+            "FROM w WHERE rn = 1 AND op <> 'delete'"
         ),
         "payload_inference": (
             "WITH ch AS (SELECT event_id AS lsn, event_id % 5 AS txn_seq, "
