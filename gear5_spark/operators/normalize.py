@@ -380,12 +380,13 @@ def _normalize_pandas(df: DataFrame, specs: list[PayloadField]) -> DataFrame:
 # -------------------------------------------------------- widening detection
 
 
-def detect_widening(df: DataFrame, specs) -> dict[str, str]:
+def detect_widening(
+    df: DataFrame, specs, include_string: bool = False
+) -> dict[str, str]:
     """Per-batch type-flip probe (ST7): find registered scalar keys
     whose CURRENT batch carries values the registered token would
-    coerce LOSSILY — ``coerce_long`` truncating ``2.5``, a numeric
-    token nulling ``"abc"`` — and return ``{column: widened token}``
-    (lattice-up only: long→double→string, boolean→long/double/string).
+    coerce LOSSILY — ``coerce_long`` truncating ``2.5`` — and return
+    ``{column: widened token}`` (lattice-up only).
 
     The reference observes every record's type and widens the record
     schema via the LCA walk (``typeutils/fields.go:182-205``); a
@@ -400,11 +401,22 @@ def detect_widening(df: DataFrame, specs) -> dict[str, str]:
     F5 contract (a flip away from timestamps is a broken feed, not a
     widening).
 
-    Detection mirrors the coercers exactly: boolean-word tokens on a
-    numeric key stay non-lossy (``coerce_long``/``coerce_double``
-    deliberately NULL them — reformat.go semantics), so a stray
-    ``"yes"`` never forces a column to string."""
-    watched = [s for s in specs if s.token in ("boolean", "long", "double")]
+    By default only NUMERIC targets fire (boolean→long/double,
+    long→double): a numeric value a narrower token can't hold is
+    unambiguous evidence of a type flip, while an unparseable string
+    is indistinguishable from feed junk — and the documented
+    configured-type contract (F1-F3, reference ReformatValue,
+    ``reformat.go:44-256``) NULLs junk per value rather than degrading
+    the whole column. ``include_string=True`` (applier
+    ``auto_widen="full"``) opts a genuinely text-bearing feed into the
+    full LCA behavior where any unparseable value widens the column to
+    string. Boolean-word tokens on a numeric key stay non-lossy in
+    both modes (the coercers deliberately NULL them), so a stray
+    ``"yes"`` never flips a column."""
+    widenable = ("boolean", "long", "double") if include_string else (
+        "boolean", "long",
+    )
+    watched = [s for s in specs if s.token in widenable]
     if not watched:
         return {}
     parse_schema = T.StructType(
@@ -430,12 +442,13 @@ def detect_widening(df: DataFrame, specs) -> dict[str, str]:
             checks = [
                 ("long", ~is_bool_word & lng.isNotNull()),
                 ("double", ~is_bool_word & to_double),
-                ("string", to_string),
             ]
         elif s.token == "long":
-            checks = [("double", to_double), ("string", to_string)]
+            checks = [("double", to_double)]
         else:  # double
-            checks = [("string", to_string)]
+            checks = []
+        if include_string:
+            checks.append(("string", to_string))
         for kind, cond in checks:
             aggs.append(
                 F.max(cond.cast("int")).alias(f"_w{len(aggs)}")

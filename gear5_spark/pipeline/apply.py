@@ -122,14 +122,18 @@ class TranscriptsApplier:
     partition_lineage: bool = True
     exclude_columns: list[str] = field(default_factory=list)  # P2
     # ST7 beyond-additive: when a registered scalar key's values flip
-    # to a wider type mid-stream (long→double, numeric→text), detect it
-    # BEFORE the parse (operators/normalize.detect_widening — one
-    # constant-width aggregate over the persisted winners, skipped with
-    # zero cost when no registered token is widenable), re-register the
-    # widened token, and let the merge widen the table schema in place
-    # (metadata-only, lake/table.read_file_entries). Off → the legacy
-    # pin-at-first-observation behavior (flips coerce lossily).
-    auto_widen: bool = True
+    # to a wider NUMERIC type mid-stream (long→double, boolean→long),
+    # detect it BEFORE the parse (operators/normalize.detect_widening —
+    # one constant-width aggregate over the persisted winners, skipped
+    # with zero cost when no registered token is widenable),
+    # re-register the widened token, and let the merge widen the table
+    # schema in place (metadata-only, lake/table.read_file_entries).
+    # "full" additionally widens to STRING on unparseable values (the
+    # raw LCA behavior) — off by default because junk on a typed key is
+    # indistinguishable from a text flip and the configured-type
+    # contract (F1-F3) NULLs junk per value instead of degrading the
+    # column. False → the legacy pin-at-first-observation behavior.
+    auto_widen: bool | str = True  # True=="numeric" | "full" | False
     # physical plan for the per-batch dedup (regime tradeoff):
     #   "fused"   — one shuffle of the raw payload keyed by the table's
     #               placement slot; the groupBy then runs exchange-free
@@ -623,7 +627,11 @@ class TranscriptsApplier:
                 from gear5_spark.operators.normalize import detect_widening
 
                 with span("apply.widen_detect"):
-                    flips = detect_widening(deduped_raw, specs)
+                    flips = detect_widening(
+                        deduped_raw,
+                        specs,
+                        include_string=self.auto_widen == "full",
+                    )
                 if flips:
                     for col, tok in flips.items():
                         registry[col] = {**registry[col], "type": tok}

@@ -76,8 +76,11 @@ def test_long_to_double_flip_lands_lossless(spark, tmp_path):
     assert _vals(table)["d"] == 7.0
 
 
-def test_numeric_to_text_flip(spark, tmp_path):
-    table, applier = _mk(spark, tmp_path)
+def test_numeric_to_text_flip_full_mode(spark, tmp_path):
+    """auto_widen="full" opts into the raw LCA behavior: an unparseable
+    value widens the column to string (the default stays numeric-only —
+    junk on a typed key is F1-F3 NULL, see test below)."""
+    table, applier = _mk(spark, tmp_path, auto_widen="full")
     applier(_batch(spark, [(1, "a", 0, {"n": 3})]), 0)
     applier(_batch(spark, [(2, "b", 0, {"n": "many"})]), 1)
     assert table.schema["n"].dataType == T.StringType()
@@ -86,6 +89,18 @@ def test_numeric_to_text_flip(spark, tmp_path):
     # the long-era value casts up through its WRITTEN type ("3", never
     # a lossy intermediate)
     assert got["a"] == "3"
+
+
+def test_default_mode_nulls_junk_keeps_numeric_type(spark, tmp_path):
+    """Default (numeric-only) widening: junk text on a long key stays
+    the documented F2 NULL and the column keeps its type — the messy-
+    feed contract (tests/test_messy_payloads.py) is unaffected by
+    auto-widen."""
+    table, applier = _mk(spark, tmp_path)
+    applier(_batch(spark, [(1, "a", 0, {"n": 3})]), 0)
+    applier(_batch(spark, [(2, "b", 0, {"n": "junk"})]), 1)
+    assert table.schema["n"].dataType == T.LongType()
+    assert _vals(table) == {"a": 3, "b": None}
 
 
 def test_flip_through_mor_sink(spark, tmp_path):
@@ -126,11 +141,15 @@ def test_detect_widening_classifier(spark):
     # a: huge but integral longs stay long (decimal string and the
     # long→double cast round identically — no false positive)
     assert "a" not in got
-    assert got["b"] == "string"  # 1.5 then "x": string dominates double
+    assert got["b"] == "double"  # 1.5 is numeric evidence; "x" is junk
     assert got["c"] == "long"  # bool key observed integer 3
     # d: bool-words on a numeric key are NOT lossy (coerce_long NULLs
     # them by the documented F2 contract) — no widen
     assert "d" not in got
+    # full mode: the unparseable "x" now dominates b up to string
+    full = detect_widening(df, specs, include_string=True)
+    assert full["b"] == "string" and full["c"] == "long"
+    assert "a" not in full and "d" not in full
 
 
 def test_detect_widening_no_watched_keys_no_job(spark):
