@@ -39,10 +39,14 @@ def _spark():
     return get_spark(app_name="gear5-cli")
 
 
-def cmd_spec(_args) -> int:
+def cmd_spec(args) -> int:
     from gear5_spark.config import config_spec
 
-    print(json.dumps({"type": "SPEC", "spec": config_spec()}, indent=2))
+    spec = config_spec()
+    if getattr(args, "airbyte", False):
+        # protocol/spec.go:68-72 — wrap for Airbyte-compatible consumers
+        spec = {"connectionSpecification": spec}
+    print(json.dumps({"type": "SPEC", "spec": spec}, indent=2))
     return 0
 
 
@@ -460,7 +464,13 @@ def cmd_expire(args) -> int:
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="gear5_spark", description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
-    sub.add_parser("spec")
+    p_spec = sub.add_parser("spec")
+    p_spec.add_argument(
+        "--airbyte",
+        action="store_true",
+        help="wrap the schema in connectionSpecification "
+        "(protocol/spec.go:68-72)",
+    )
     p = sub.add_parser("check")
     p.add_argument("--config", required=True)
     p = sub.add_parser("discover")

@@ -22,21 +22,36 @@ class PipelineConfig:
     changelog_dir: str
     table_dir: str
     checkpoint_dir: str
-    mode: str = "stream"  # stream | bulk
+    mode: str = field(
+        default="stream",
+        metadata={"jsonschema": {"enum": ["stream", "bulk"]}},
+    )
     n_buckets: int = 16
-    delete_mode: str = "hard"  # hard | soft
-    normalize_mode: str = "sql"  # sql | pandas
+    delete_mode: str = field(
+        default="hard",
+        metadata={"jsonschema": {"enum": ["hard", "soft"]}},
+    )
+    normalize_mode: str = field(
+        default="sql",
+        metadata={"jsonschema": {"enum": ["sql", "pandas"]}},
+    )
     salt_buckets: int = 1
     # None = per-mode default: stream -> mor (delta append + periodic
     # compaction; per-batch CoW rewrite amplification is the wrong shape
     # for a steady tail — see runner.run_stream), bulk -> cow (one big
     # rewrite, zero read amplification afterwards)
-    sink_mode: str | None = None  # cow | mor | None (auto)
+    sink_mode: str | None = field(
+        default=None,
+        metadata={"jsonschema": {"enum": ["cow", "mor", None]}},
+    )
     # physical dedup plan: fused (one placement-keyed shuffle of the raw
     # payload) | partial (map-side-combined, cheapest on high-update
     # feeds) | auto (per batch by the previous batch's measured
     # events-per-key ratio) — regime rationale in pipeline/apply.py
-    dedup_plan: str = "auto"
+    dedup_plan: str = field(
+        default="auto",
+        metadata={"jsonschema": {"enum": ["auto", "fused", "partial"]}},
+    )
     compact_every: int = 8
     max_files_per_trigger: int = 4
     quarantine_dir: str | None = None
@@ -121,37 +136,12 @@ class PipelineConfig:
         return asdict(self)
 
 
-_TYPE_MAP = {str: "string", int: "integer", bool: "boolean"}
-
-
 def config_spec() -> dict:
     """JSON-schema for PipelineConfig (the `spec` command output,
-    ≈ protocol/spec.go:26-77)."""
-    props = {}
-    required = []
-    for f in fields(PipelineConfig):
-        base = f.type.replace(" | None", "")
-        if base in ("str", "int", "bool"):
-            jt = {"str": "string", "int": "integer", "bool": "boolean"}[base]
-            entry: dict = {"type": jt}
-            if base != f.type:
-                entry = {"type": [jt, "null"]}
-        else:
-            entry = {"type": "array", "items": {"type": "string"}}
-        from dataclasses import MISSING
+    ≈ protocol/spec.go:26-77) via the general dataclass reflector
+    (gear5_spark.spec — the generator.go parity surface)."""
+    from gear5_spark.spec import reflect
 
-        if f.default is not MISSING:
-            entry["default"] = f.default
-        elif f.default_factory is not MISSING:  # type: ignore[misc]
-            entry["default"] = f.default_factory()  # type: ignore[misc]
-        else:
-            required.append(f.name)
-        props[f.name] = entry
-    return {
-        "$schema": "https://json-schema.org/draft/2020-12/schema",
-        "title": "Gear5-Spark transcripts CDC pipeline config",
-        "type": "object",
-        "properties": props,
-        "required": required,
-        "additionalProperties": False,
-    }
+    return reflect(
+        PipelineConfig, title="Gear5-Spark transcripts CDC pipeline config"
+    )
