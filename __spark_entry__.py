@@ -2130,25 +2130,29 @@ def _simhash_sql(shingle_n: int = 2, nbits: int = 60) -> str:
     )
 
 
-def _kmeans_cte_sql(k: int, iterations: int = 3) -> str:
+def _kmeans_cte_sql(k: int, iterations: int = 3, sample_n: int = 4096) -> str:
     """Unrolled deterministic Lloyd fit mirroring
-    ``sim.ann.kmeans_centroids`` bit-for-bit: min-id seeds, cosine-desc
-    / cid-asc assignment, per-position means rounded to 9 decimals each
-    iteration (both sides round, so summation-order drift can't leak
-    into the next assignment), emptied lists keep their previous
-    centroid. Expects a CTE ``v(vec_id, vec)`` with DOUBLE[] vectors
-    already defined; emits ``c0 .. c{iterations}`` — read the fitted
-    quantizer from ``c{iterations}``."""
+    ``sim.ann.kmeans_centroids`` bit-for-bit: min-id seeds, fit over the
+    ``sample_n`` lowest-id vectors (the FAISS-style train budget — at
+    gate scale the corpus is smaller, so the sample IS the corpus),
+    cosine-desc / cid-asc assignment, per-position means rounded to 9
+    decimals each iteration (both sides round, so summation-order drift
+    can't leak into the next assignment), emptied lists keep their
+    previous centroid. Expects a CTE ``v(vec_id, vec)`` with DOUBLE[]
+    vectors already defined; emits ``c0 .. c{iterations}`` — read the
+    fitted quantizer from ``c{iterations}``."""
     parts = [
+        f"vs AS (SELECT vec_id, vec FROM v "
+        f"ORDER BY vec_id LIMIT {sample_n}), "
         f"c0 AS (SELECT vec_id AS cid, vec AS cvec FROM v "
         f"ORDER BY vec_id LIMIT {k}), "
     ]
     for i in range(iterations):
         parts.append(
-            f"a{i} AS (SELECT v.vec_id, v.vec, c.cid, row_number() OVER ("
-            f"PARTITION BY v.vec_id ORDER BY "
-            f"list_cosine_similarity(v.vec, c.cvec) DESC, c.cid ASC) AS rn "
-            f"FROM v, c{i} AS c), "
+            f"a{i} AS (SELECT vs.vec_id, vs.vec, c.cid, row_number() OVER ("
+            f"PARTITION BY vs.vec_id ORDER BY "
+            f"list_cosine_similarity(vs.vec, c.cvec) DESC, c.cid ASC) AS rn "
+            f"FROM vs, c{i} AS c), "
             f"m{i} AS (SELECT cid, list(m ORDER BY pos) AS mvec FROM ("
             f"SELECT cid, pos, round(avg(x), 9) AS m FROM ("
             f"SELECT cid, generate_subscripts(vec, 1) AS pos, "

@@ -446,6 +446,7 @@ def kmeans_centroids(
     iterations: int = 3,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    sample_n: int = 4096,
 ) -> list[tuple[int, list[float]]]:
     """Deterministic Lloyd refinement of the min-id seed centroids, as
     plain DataFrame aggregations (the standard distributed k-means
@@ -463,56 +464,121 @@ def kmeans_centroids(
     bit-reproducible by construction (local[8] == local[32] == the
     DuckDB oracle's unrolled-Lloyd recomputation, verified at the
     gate), while 1e-9 centroid precision is irrelevant to a 16-way
-    argmax whose score gaps are ~1e-2."""
+    argmax whose score gaps are ~1e-2.
+
+    The fit runs on the ``sample_n`` LOWEST-ID vectors (deterministic
+    TakeOrdered), not the full corpus — FAISS's own train-budget shape
+    (256 vectors per centroid; 256*16 = 4096): Lloyd converges on a
+    representative sample, and training on 10^9 rows per index build
+    would pay iterations * corpus for no recall gain. At gate scale the
+    corpus is smaller than the budget, so the sample IS the corpus and
+    the DuckDB oracle recomputes the identical fit; the final per-row
+    ASSIGNMENT (done by the caller) always covers the full corpus."""
     cents = ivf_centroids(emb, k, vec_col, id_col)
-    emb = fan_out(emb)  # once, outside the loop — not per iteration
+    fit = (
+        emb.select(id_col, vec_col)
+        .orderBy(F.col(id_col).asc())
+        .limit(sample_n)
+    )
+    # persist: every iteration is its own action, and the sample is
+    # bounded (sample_n rows) — without it each iteration re-runs the
+    # global TakeOrdered against the full corpus
+    fit = fan_out(fit).persist()
+    spark = emb.sparkSession
+    try:
+        cents = _lloyd_iterations(
+            spark, fit, cents, iterations, vec_col, id_col
+        )
+    finally:
+        fit.unpersist()
+    return cents
+
+
+def _lloyd_iterations(spark, fit, cents, iterations, vec_col, id_col):
     for _ in range(iterations):
-        # two projections: the argmax expression (nested lambda
-        # functions) cannot share a select with a generator — the
-        # Generate rewrite strips struct field names
-        assigned = emb.select(
-            F.element_at(_top_lists(F.col(vec_col), cents, 1), 1).alias(
-                "list_id"
-            ),
-            F.col(vec_col).alias("_v"),
-        ).select("list_id", F.posexplode("_v").alias("pos", "x"))
+        # the iteration's argmax joins a broadcast 16-row centroid
+        # DataFrame instead of the _top_lists literal expression: the
+        # centroids change every iteration, and as DATA the plan stays
+        # ~constant-size and structurally identical (codegen cache hit)
+        # while as LITERALS each iteration pays Catalyst re-walking a
+        # k*dim-node tree (measured: the driver-side plan time, not the
+        # 4k-row compute, dominated the fit). Arithmetic is unchanged —
+        # the same index-order _dot, the same (score desc, cid asc)
+        # ordering — so the fit stays bit-identical to the unrolled
+        # DuckDB oracle. The norm of the row is dropped as in
+        # _centroid_scores (common positive factor; argmax-invariant).
+        cdf = spark.createDataFrame(
+            [
+                (int(cid), [float(x) for x in v],
+                 float(sum(x * x for x in v) ** 0.5))
+                for cid, v in cents
+            ],
+            "cid bigint, cvec array<double>, cnorm double",
+        )
+        score = (_dot(F.col(vec_col), F.col("cvec")) / F.col("cnorm"))
+        assigned = (
+            fit.join(F.broadcast(cdf))
+            .groupBy(id_col)
+            .agg(
+                F.max_by(
+                    "cid",
+                    F.struct(
+                        score.alias("s"), (-F.col("cid")).alias("negcid")
+                    ),
+                ).alias("list_id"),
+                F.first(vec_col).alias("_v"),
+            )
+            .select("list_id", F.posexplode("_v").alias("pos", "x"))
+        )
+        # k*dim skinny rows come back to the driver and the mean
+        # vectors assemble in Python — one exchange per iteration (the
+        # partial-aggregated avg), not two (a second groupBy to build
+        # ordered arrays JVM-side paid a whole extra stage per
+        # iteration for 1024 rows of work)
         means = (
             assigned.groupBy("list_id", "pos")
             .agg(F.avg(F.col("x").cast("double")).alias("m"))
-            .groupBy("list_id")
-            .agg(
-                F.array_sort(
-                    F.collect_list(F.struct("pos", "m"))
-                ).alias("pm")
-            )
-            .select(
-                "list_id",
-                F.transform(F.col("pm"), lambda s: s["m"]).alias("vec"),
-            )
             .collect()
         )
+        by_list: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_list.setdefault(int(r["list_id"]), {})[int(r["pos"])] = float(
+                r["m"]
+            )
         new = {
-            int(r["list_id"]): [round(float(x), 9) for x in r["vec"]]
-            for r in means
+            lid: [
+                round(pm[p], 9) for p in sorted(pm)
+            ]
+            for lid, pm in by_list.items()
         }
         cents = [(cid, new.get(cid, v)) for cid, v in cents]
     return cents
 
 
 def _centroid_scores(vec_col_expr, cents):
-    """Array of (cosine-to-centroid, -cid) structs — a pure JVM
-    expression over broadcast centroid literals; no shuffle, no UDF."""
+    """Array of (ranking score, -cid) structs for the nearest-centroid
+    argmax — a pure JVM expression over broadcast centroid literals; no
+    shuffle, no UDF.
+
+    One deliberate deviation from a textbook cosine, order-preserving
+    per row: the row's own norm is NOT divided out — it is a common
+    positive factor across all k candidates, so the argmax (and every
+    tie) is unchanged, while the k extra norm walks per row disappear
+    (half the higher-order-function lambda evaluations of this
+    expression, measured ~2 s per 40k-row assignment pass at k=16
+    before the change). The per-centroid dot stays zip_with/aggregate
+    in index order, so score ORDERING matches the DuckDB oracle's
+    sequential cosine bit-for-bit — scores differ from true cosine only
+    by that dropped positive factor. (A plain indexed element_at sum
+    would dodge the interpreted lambdas but builds a k*dim-node
+    expression tree that Catalyst re-walks per rule — measured 4x
+    SLOWER end-to-end at plan time; don't.)"""
     return F.array(
         *[
             F.struct(
                 (
                     _dot(vec_col_expr, F.array(*[F.lit(x) for x in v]))
-                    / (
-                        _norm(vec_col_expr)
-                        * F.lit(
-                            sum(x * x for x in v) ** 0.5
-                        )
-                    )
+                    / F.lit(sum(x * x for x in v) ** 0.5)
                 ).alias("score"),
                 F.lit(-cid).alias("negcid"),
             )

@@ -286,3 +286,77 @@ def test_time_travel_before_widen_reads_old_schema(spark, tmp_path):
     old = t.read(snapshot=t.snapshot(v1.version))
     assert old.schema["v"].dataType == T.LongType()
     assert {r["k"]: r["v"] for r in old.collect()} == {"a": 1}
+
+
+def test_occ_rebase_widen_annotates_winner_files(spark, tmp_path):
+    """A widening commit computed against a STALE basis rebases onto
+    the winner; the winner's files (written pre-widen, after our basis)
+    must end up annotated and read back through the cast."""
+    t = _mk(spark, tmp_path)
+    merge_into(
+        t,
+        spark.createDataFrame(
+            [("a", 1, 10, "1", "insert")], _batch_schema(T.LongType())
+        ),
+    )
+    base = t.snapshot()
+    # racing writer lands ANOTHER long-era file after our basis
+    merge_into(
+        t,
+        spark.createDataFrame(
+            [("b", 2, 20, "2", "insert")], _batch_schema(T.LongType())
+        ),
+    )
+    evolved = T.StructType(
+        [
+            T.StructField("v", T.DoubleType(), True)
+            if f.name == "v"
+            else f
+            for f in base.schema.fields
+        ]
+    )
+    t.commit(files=base.files, schema=evolved, basis=base)
+    assert t.schema["v"].dataType == T.DoubleType()
+    assert _rows(t) == {"a": (1.0, 10), "b": (2.0, 20)}
+    # every kept manifest of the rebased commit carries the era map
+    snap = t.snapshot()
+    assert all(
+        m.get("physical") == {"v": "bigint"} for m in snap.manifest_list
+    )
+
+
+def test_legacy_inline_snapshot_widen_splits_eras(spark, tmp_path):
+    """A widen whose parent is a legacy inline-files snapshot must keep
+    the eras apart during the one-time manifest conversion: surviving
+    pre-widen files land in their own annotated manifest, this commit's
+    new files in an unannotated one."""
+    import glob
+    import json as _json
+    import os as _os
+
+    t = _mk(spark, tmp_path)
+    rows = [(f"k{i}", i, i, "1", "insert") for i in range(8)]
+    merge_into(t, spark.createDataFrame(rows, _batch_schema(T.LongType())))
+    snap = t.snapshot()
+    vfiles = sorted(
+        glob.glob(_os.path.join(t.table_dir, "_lake", "v*.json"))
+    )
+    d = _json.loads(open(vfiles[-1]).read())
+    d.pop("manifest_list", None)
+    d["files"] = snap.files  # rewrite as a legacy inline snapshot
+    with open(vfiles[-1], "w") as fh:
+        fh.write(_json.dumps(d))
+    merge_into(
+        t,
+        spark.createDataFrame(
+            [("k0", 0.5, 99, "2", "update")], _batch_schema(T.DoubleType())
+        ),
+    )
+    assert t.schema["v"].dataType == T.DoubleType()
+    got = _rows(t)
+    assert got["k0"] == (0.5, 99)
+    assert all(got[f"k{i}"] == (float(i), i) for i in range(1, 8))
+    snap2 = t.snapshot()
+    phys = [m.get("physical") for m in snap2.manifest_list]
+    assert {"v": "bigint"} in phys  # kept pre-widen files, annotated
+    assert None in phys  # this commit's post-widen files, unannotated
