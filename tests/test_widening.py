@@ -360,3 +360,35 @@ def test_legacy_inline_snapshot_widen_splits_eras(spark, tmp_path):
     phys = [m.get("physical") for m in snap2.manifest_list]
     assert {"v": "bigint"} in phys  # kept pre-widen files, annotated
     assert None in phys  # this commit's post-widen files, unannotated
+
+
+def test_scan_stats_prune_across_widened_eras(spark, tmp_path):
+    """Manifest-stats file skipping keeps working across a widen: the
+    long-era files carry INTEGER min/max for v while the filter value
+    is a float — pruning still skips non-matching files (Python int ↔
+    float compare), and a mixed-type comparison can only ever KEEP a
+    file (the conservative TypeError guard), never wrongly skip one."""
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "t"),
+        schema=SCHEMA,
+        key_columns=["k"],
+        n_buckets=4,
+        extra_properties={"stats_columns": ["v"]},
+    )
+    rows = [(f"k{i}", i * 10, i, "1", "insert") for i in range(12)]
+    merge_into(t, spark.createDataFrame(rows, _batch_schema(T.LongType())))
+    merge_into(
+        t,
+        spark.createDataFrame(
+            [("x", 1000.5, 99, "2", "insert")],
+            _batch_schema(T.DoubleType()),
+        ),
+    )
+    assert t.schema["v"].dataType == T.DoubleType()
+    keep, skipped = t.plan_scan([("v", ">=", 1000.0)])
+    assert skipped > 0  # long-era files with small v pruned on int stats
+    got = {r["k"]: r["v"] for r in t.scan([("v", ">=", 1000.0)]).collect()}
+    assert got == {"x": 1000.5}
+    # the full set still reads correctly through both eras
+    assert len(_rows(t)) == 13
