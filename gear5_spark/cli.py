@@ -305,6 +305,7 @@ def cmd_read(args) -> int:
                 rollup=rollup if last else None,
                 partition_lineage=cfg.partition_lineage,
                 dedup_plan=cfg.dedup_plan,
+                auto_widen=cfg.auto_widen,
             )
             runs_sec.append(round(time.perf_counter() - r0, 3))
             if not last:
@@ -332,6 +333,7 @@ def cmd_read(args) -> int:
             rollup=rollup,
             partition_lineage=cfg.partition_lineage,
             dedup_plan=cfg.dedup_plan,
+            auto_widen=cfg.auto_widen,
         )
         run_stream(
             spark, cfg.changelog_dir, table, cfg.checkpoint_dir,

@@ -63,6 +63,14 @@ class PipelineConfig:
     # per-source-partition lineage (per input file: lsn range + rows from
     # footer stats); driver-side metadata reads only
     partition_lineage: bool = True
+    # mid-stream payload type flips (ST7 beyond-additive): true/"numeric"
+    # widens on numeric evidence (long→double, boolean→long), "full"
+    # additionally widens to string on unparseable values, false pins
+    # first-observed types (legacy) — see pipeline/apply.TranscriptsApplier
+    auto_widen: bool | str = field(
+        default=True,
+        metadata={"jsonschema": {"enum": [True, False, "numeric", "full"]}},
+    )
 
     @classmethod
     def from_file(cls, path: str) -> "PipelineConfig":
@@ -102,6 +110,11 @@ class PipelineConfig:
         if self.dedup_plan not in ("auto", "fused", "partial"):
             problems.append(
                 f"dedup_plan must be auto|fused|partial, got {self.dedup_plan}"
+            )
+        if self.auto_widen not in (True, False, "numeric", "full"):
+            problems.append(
+                "auto_widen must be true|false|numeric|full, got "
+                f"{self.auto_widen}"
             )
         if self.dedup_plan == "fused" and self.salt_buckets > 1:
             # fused co-locates dedup with bucket placement; salting is

@@ -132,6 +132,7 @@ def replay_batch(
     rollup=None,
     partition_lineage: bool = True,
     dedup_plan: str = "auto",
+    auto_widen: bool | str = True,
 ) -> LakeTable:
     """Bulk replay: whole (or cursor-bounded) change log in one merge.
 
@@ -164,6 +165,7 @@ def replay_batch(
         rollup=rollup,
         partition_lineage=partition_lineage,
         dedup_plan=dedup_plan,
+        auto_widen=auto_widen,
     )
     changes = read_changelog(spark, changelog_dir, min_lsn=min_lsn, max_lsn=max_lsn)
     last = table.last_committed_batch(app_id)
