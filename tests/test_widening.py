@@ -392,3 +392,68 @@ def test_scan_stats_prune_across_widened_eras(spark, tmp_path):
     assert got == {"x": 1000.5}
     # the full set still reads correctly through both eras
     assert len(_rows(t)) == 13
+
+
+def test_randomized_multi_era_fold_matches_python_oracle(spark, tmp_path):
+    """Seeded randomized soak (SURVEY §5.5 style): six batches whose
+    ``v`` type wanders across long/double/string with overlapping keys;
+    the final table must equal a driver-side fold that applies the same
+    LCA widening + cast-up semantics. Catches era bookkeeping drift no
+    hand-written case covers (e.g. a bucket rewritten in era 2 then
+    kept through era 3)."""
+    import random
+
+    rng = random.Random(1234)
+    t = _mk(spark, tmp_path)
+    expect: dict[str, object] = {}
+    schema_type = "long"
+    order = {"long": 0, "double": 1, "string": 2}
+
+    def up(cur, new):
+        return cur if order[cur] >= order[new] else new
+
+    for lsn in range(1, 7):
+        btype = rng.choice(["long", "double", "string"])
+        keys = rng.sample([f"k{i}" for i in range(10)], rng.randint(2, 5))
+        rows, vals = [], {}
+        for k in keys:
+            if btype == "long":
+                v = rng.randint(-100, 100)
+            elif btype == "double":
+                v = rng.randint(-100, 100) + 0.25
+            else:
+                v = f"s{rng.randint(0, 99)}"
+            rows.append((k, v, lsn, str(lsn), "insert"))
+            vals[k] = v
+        spark_t = {
+            "long": T.LongType(), "double": T.DoubleType(),
+            "string": T.StringType(),
+        }[btype]
+        merge_into(
+            t, spark.createDataFrame(rows, _batch_schema(spark_t))
+        )
+        schema_type = up(schema_type, btype)
+        expect.update(vals)
+    assert t.schema["v"].dataType.typeName() == schema_type
+
+    def cast_up(v):
+        if schema_type == "long" or v is None:
+            return v
+        if schema_type == "double":
+            return float(v)
+        # string top: Spark renders integral doubles as "1.0", longs
+        # as "1" — mirror the cast the read path performs on each
+        # value's WRITTEN type. A long written in the long era casts
+        # "7"; a long written in a double-era batch was stored as
+        # double and casts "7.0".
+        return v if isinstance(v, str) else str(v)
+
+    got = {r["k"]: r["v"] for r in t.read().select("k", "v").collect()}
+    assert set(got) == set(expect)
+    for k, v in expect.items():
+        g = got[k]
+        if schema_type == "string" and not isinstance(v, str):
+            # compare numerically: the written era decides "7" vs "7.0"
+            assert float(g) == float(v), (k, g, v)
+        else:
+            assert g == cast_up(v), (k, g, v)
