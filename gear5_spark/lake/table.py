@@ -253,17 +253,25 @@ def _resolve_files(
     out: list[dict[str, Any]] = []
     for m in manifest_list:
         live = set(m["buckets"])
-        phys = m.get("physical")
+        phys = m.get("physical") or {}
         for f in _load_manifest(table_dir, m["path"]):
             if f["bucket"] not in live:
                 continue
-            if phys:
-                # in-place widening era marker: every file of this
-                # manifest was written BEFORE the widen commit(s), so
-                # its parquet columns carry these narrower physical
-                # types — the read path casts through them
+            # in-place widening era markers: every file of this manifest
+            # was written BEFORE the widen commit(s) that stamped the
+            # manifest-LIST entry, so its parquet columns carry those
+            # narrower physical types — the read path casts through
+            # them. An ENTRY-level map (baked in when rewrite_manifests
+            # folds resolved entries into a fresh manifest) wins over
+            # the list-level map: it records the file's ORIGINAL written
+            # type, which a widen that happened after the fold must not
+            # overwrite (list-level would claim the pre-THAT-widen type,
+            # wrong for a file two eras old).
+            entry_phys = f.get("physical") or {}
+            merged = {**phys, **entry_phys}
+            if merged:
                 f = dict(f)
-                f["physical"] = phys
+                f["physical"] = merged
             out.append(f)
     return out
 

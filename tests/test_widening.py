@@ -457,3 +457,37 @@ def test_randomized_multi_era_fold_matches_python_oracle(spark, tmp_path):
             assert float(g) == float(v), (k, g, v)
         else:
             assert g == cast_up(v), (k, g, v)
+
+
+def test_widen_survives_manifest_rewrite_then_second_widen(spark, tmp_path):
+    """rewrite_manifests folds resolved entries (with their baked
+    physical maps) into one fresh manifest; a SECOND widen then stamps
+    that manifest at the list level. The era-0 file's original written
+    type must win over the newer stamp (entry-level priority in
+    _resolve_files) — otherwise the long-era file would be opened with
+    the intermediate double schema and fail or mis-cast."""
+    t = _mk(spark, tmp_path)
+    merge_into(
+        t,
+        spark.createDataFrame(
+            [("a", 3, 1, "1", "insert")], _batch_schema(T.LongType())
+        ),
+    )
+    merge_into(
+        t,
+        spark.createDataFrame(
+            [("b", 2.5, 2, "2", "insert")], _batch_schema(T.DoubleType())
+        ),
+    )
+    t.rewrite_manifests()  # bakes {"v": "bigint"} into the a-file entry
+    merge_into(
+        t,
+        spark.createDataFrame(
+            [("c", "x", 3, "3", "insert")], _batch_schema(T.StringType())
+        ),
+    )
+    assert t.schema["v"].dataType == T.StringType()
+    got = _rows(t)
+    # a read through its ORIGINAL bigint type ("3", never "3.0")
+    assert got["a"] == ("3", 1)
+    assert got["b"] == ("2.5", 2) and got["c"] == ("x", 3)
