@@ -156,3 +156,24 @@ def test_detect_widening_no_watched_keys_no_job(spark):
     df = spark.createDataFrame([('{"s": "x"}',)], "after_json string")
     specs = [PayloadField(col="s", token="string", source="s")]
     assert detect_widening(df, specs) == {}
+
+
+def test_widen_batch_replay_is_exactly_once(spark, tmp_path):
+    """Crash-window contract across a widen: re-delivering the flip
+    batch (same batch_id, FRESH applier instance so the registry
+    reloads from disk) is a txn-ledger no-op — no duplicate rows, no
+    double-widen, schema and values unchanged."""
+    table, applier = _mk(spark, tmp_path)
+    applier(_batch(spark, [(1, "a", 0, {"n": 3})]), 0)
+    flip = _batch(spark, [(2, "b", 0, {"n": 2.5})])
+    applier(flip, 1)
+    v1 = table.snapshot().version
+    assert table.schema["n"].dataType == T.DoubleType()
+
+    from gear5_spark.pipeline.runner import make_applier
+
+    fresh = make_applier(table, str(tmp_path / "ckpt"))
+    assert fresh.load_registry()["n"]["type"] == "double"  # durable
+    fresh(flip, 1)  # re-delivery after a simulated crash
+    assert table.snapshot().version == v1
+    assert _vals(table) == {"a": 3.0, "b": 2.5}
