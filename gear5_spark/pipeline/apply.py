@@ -35,6 +35,7 @@ from gear5_spark.operators.dedup import latest_per_key
 from gear5_spark.operators.infer import infer_token
 from gear5_spark.operators.names import sanitize_unique
 from gear5_spark.operators.normalize import PayloadField, normalize_changes
+from gear5_spark.parallel import shuffle_width
 
 # payload fields every transcripts feed starts with (BASELINE.json
 # input_hint); `ts` arrives as epoch-seconds and lands as timestamp.
@@ -494,9 +495,7 @@ class TranscriptsApplier:
             # amplification across the whole compact_every window —
             # while its batches are small enough that bucket-count
             # parallelism already covers the dedup stage.
-            parts = int(
-                batch.sparkSession.conf.get("spark.sql.shuffle.partitions")
-            )
+            parts = shuffle_width(batch.sparkSession)
             n_b = snap0.properties["n_buckets"]
             q = 1 if self.sink_mode == "mor" else max(1, parts // n_b)
             n_slots, slot_expr = self.table.placement_expr(
