@@ -903,6 +903,14 @@ class LakeTable:
         (rebucket) never rebases — its file layout depends on the
         properties, so a race forces a recompute."""
         base = basis if basis is not None else self.snapshot()
+        # the physical types this commit's NEW files were written with:
+        # the caller's schema, else the basis schema they were computed
+        # against — fixed for the whole retry loop even as `schema` is
+        # re-merged against successive winners
+        written_schema = schema if schema is not None else base.schema
+        my_paths = {f["path"] for f in files} - {
+            f["path"] for f in base.files
+        }
         for _attempt in range(self.COMMIT_RETRIES + 1):
             current = self.snapshot()
             if current.version != base.version:
@@ -923,6 +931,27 @@ class LakeTable:
                         current.schema, schema, allow_widen=True
                     )
                 base = current
+                # the MIRROR race: the winner widened past the types
+                # this commit's own files were physically written with
+                # (merge absorbed our narrow type, so _commit_once sees
+                # parent.schema == schema and stamps nothing) — stamp
+                # our added files entry-level, the map that wins the
+                # read-path merge, or the table becomes unreadable
+                # (vectorized parquet: physical INT64 vs logical double)
+                final = schema if schema is not None else current.schema
+                final_by = {f.name: f.dataType for f in final.fields}
+                stamp = {
+                    f.name: f.dataType.simpleString()
+                    for f in written_schema.fields
+                    if f.name in final_by and final_by[f.name] != f.dataType
+                }
+                if stamp:
+                    files = [
+                        {**f, "physical": {**stamp, **(f.get("physical") or {})}}
+                        if f["path"] in my_paths
+                        else f
+                        for f in files
+                    ]
             try:
                 return self._commit_once(
                     base, files, schema, txn_app_id, txn_batch_id,

@@ -482,8 +482,14 @@ def kmeans_centroids(
     )
     # persist: every iteration is its own action, and the sample is
     # bounded (sample_n rows) — without it each iteration re-runs the
-    # global TakeOrdered against the full corpus
-    fit = fan_out(fit).persist()
+    # global TakeOrdered against the full corpus. Deliberately NOT
+    # fanned out: the plan ends in Sort+GlobalLimit (always classified
+    # wide, so fan_out would be a no-op anyway), an explicit
+    # repartition could flip float-sum order in the per-iteration avg
+    # (the fit must stay bit-identical to the DuckDB oracle), and the
+    # per-iteration work is a ≤sample_n-row broadcast join — too small
+    # for task spread to matter.
+    fit = fit.persist()
     spark = emb.sparkSession
     try:
         cents = _lloyd_iterations(

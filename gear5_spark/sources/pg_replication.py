@@ -213,6 +213,7 @@ class ReplicationClient:
         self._sock: socket.socket | None = None
         self._buf = b""
         self._stopping = False
+        self._scram: _ScramSha256 | None = None
 
     # -- transport ---------------------------------------------------
     def connect(self) -> None:
@@ -221,6 +222,7 @@ class ReplicationClient:
         # leak into (and silently stall or desync) the new stream
         self._stopping = False
         self._buf = b""
+        self._scram = None
         self._sock = socket.create_connection(
             (self.host, self.port), timeout=self.timeout
         )
@@ -278,6 +280,14 @@ class ReplicationClient:
                         )
                     )
                     continue
+                if code in (11, 12) and self._scram is None:
+                    # SASLContinue/Final without a preceding SASL start
+                    # (code 10) is a protocol violation — diagnose it,
+                    # don't AttributeError
+                    raise ReplicationError(
+                        f"server sent SASL message {code} before "
+                        "AuthenticationSASL — broken auth sequence"
+                    )
                 if code == 11:  # AuthenticationSASLContinue
                     self._send_raw(
                         _msg(b"p", self._scram.client_final(body[4:]))

@@ -79,6 +79,7 @@ class _Reflector:
     def __init__(self) -> None:
         self.defs: dict[str, dict] = {}
         self._in_progress: set[str] = set()
+        self._def_owner: dict[str, type] = {}
 
     def schema_for(self, tp, path: str) -> dict:
         origin = _t.get_origin(tp)
@@ -133,9 +134,20 @@ class _Reflector:
 
     def _ref(self, cls, path: str) -> dict:
         name = cls.__name__
+        owner = self._def_owner.get(name)
+        if owner is not None and owner is not cls:
+            # two distinct classes sharing a bare name would silently
+            # collapse into one $defs entry — the module contract is
+            # fail loudly, never emit a schema that drops a field
+            raise SpecError(
+                f"{path}: $defs name collision — {name!r} is claimed by "
+                f"both {owner.__module__}.{owner.__qualname__} and "
+                f"{cls.__module__}.{cls.__qualname__}"
+            )
         if name not in self.defs and name not in self._in_progress:
             # reserve BEFORE recursing: a self-referential dataclass
             # resolves to the same $ref instead of recursing forever
+            self._def_owner[name] = cls
             self._in_progress.add(name)
             self.defs[name] = self.object_schema(cls)
             self._in_progress.discard(name)

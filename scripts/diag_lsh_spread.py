@@ -66,12 +66,27 @@ def main() -> None:
 
     from bench import _fresh_spark
 
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    scales = [int(a) for a in args] or [1, 10]
+    # accepts both --runs=N and --runs N; everything else positional
     runs = 3
-    for a in sys.argv[1:]:
+    positional: list[str] = []
+    argv = sys.argv[1:]
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--runs"):
-            runs = int(a.split("=", 1)[1])
+            if "=" in a:
+                runs = int(a.split("=", 1)[1])
+            else:
+                i += 1
+                if i >= len(argv):
+                    raise SystemExit("--runs needs a value")
+                runs = int(argv[i])
+        elif a.startswith("--"):
+            raise SystemExit(f"unknown flag {a!r}")
+        else:
+            positional.append(a)
+        i += 1
+    scales = [int(a) for a in positional] or [1, 10]
 
     spark = _fresh_spark(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     report: dict = {"dim": DIM, "runs_per_plan": runs, "scales": {}}

@@ -421,6 +421,27 @@ def test_scram_auth_end_to_end(tmp_path):
     assert [(r["lsn"], r["turn_idx"]) for r in rows] == [(300, 0), (300, 1)]
 
 
+def test_sasl_continue_before_start_rejected():
+    """A server that skips AuthenticationSASL and jumps straight to
+    SASLContinue (code 11) is a protocol violation — the client must
+    raise a diagnosable ReplicationError, not AttributeError."""
+
+    class SkipSender(FakeWalSender):
+        def _session(self, c):
+            self._recv_startup(c)
+            self._send(c, _m(b"R", struct.pack(">i", 11) + b"r=bogus"))
+            self._recv_msg(c)  # whatever the client sends back, if any
+
+    srv = SkipSender([])
+    srv.start()
+    client = ReplicationClient(
+        "127.0.0.1", srv.port, user="r", dbname="d", password="pw"
+    )
+    with pytest.raises(ReplicationError, match="before AuthenticationSASL"):
+        client.connect()
+    client.close()
+
+
 def test_scram_wrong_password_rejected():
     srv = FakeWalSender(_tx_frames(1, 1), scram_password="right")
     srv.start()

@@ -109,6 +109,28 @@ def test_unsupported_types_raise_with_path():
         reflect(int)
 
 
+def test_def_name_collision_raises():
+    """Two DISTINCT nested dataclasses sharing a bare class name must
+    not silently collapse into one $defs entry — fail loudly."""
+
+    def _mk_auth(field_name):
+        cls = dataclasses.make_dataclass("Auth", [(field_name, int)])
+        cls.__module__ = f"fake_mod_{field_name}"
+        return cls
+
+    auth_a, auth_b = _mk_auth("token"), _mk_auth("key")
+
+    @dataclasses.dataclass
+    class Outer:
+        a: auth_a  # type: ignore[valid-type]
+        b: auth_b  # type: ignore[valid-type]
+
+    # bypass get_type_hints string resolution: inject real classes
+    Outer.__annotations__ = {"a": auth_a, "b": auth_b}
+    with pytest.raises(SpecError, match="collision"):
+        reflect(Outer)
+
+
 def test_pipeline_config_spec_shape():
     from gear5_spark.config import PipelineConfig, config_spec
 

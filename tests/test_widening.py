@@ -325,6 +325,87 @@ def test_occ_rebase_widen_annotates_winner_files(spark, tmp_path):
     )
 
 
+def _write_long_era_file(spark, t, base, rows):
+    """Write ``rows`` as data files physically typed by ``base``'s
+    (long-``v``) schema, returning the new file entries uncommitted."""
+    df = spark.createDataFrame(rows, SCHEMA).withColumn(
+        "_bucket", t.bucket_expr(base)
+    )
+    _, entries = t.write_data_files(df, snap=base)
+    return entries
+
+
+def test_occ_rebase_onto_widening_winner_stamps_own_files(spark, tmp_path):
+    """The MIRROR race: a NON-widening commit computed against a stale
+    basis rebases onto a winner that widened the schema — its own new
+    files (physically written with the narrow type) must land with an
+    entry-level era map, or every subsequent read dies with a parquet
+    physical/logical type mismatch."""
+    t = _mk(spark, tmp_path)
+    merge_into(
+        t,
+        spark.createDataFrame(
+            [("a", 1, 10, "1", "insert")], _batch_schema(T.LongType())
+        ),
+    )
+    base = t.snapshot()
+    entries = _write_long_era_file(spark, t, base, [("z", 7, 70, "2")])
+    # racing widener wins first
+    evolved = T.StructType(
+        [
+            T.StructField("v", T.DoubleType(), True) if f.name == "v" else f
+            for f in base.schema.fields
+        ]
+    )
+    t.commit(files=base.files, schema=evolved, basis=base)
+    # our commit rebases; schema merge absorbs long into double
+    t.commit(
+        files=list(base.files) + entries, schema=base.schema, basis=base
+    )
+    assert t.schema["v"].dataType == T.DoubleType()
+    assert _rows(t) == {"a": (1.0, 10), "z": (7.0, 70)}
+    # the rebased commit's new manifest carries the entry-level stamp
+    snap = t.snapshot()
+    stamped = []
+    for m in snap.manifest_list:
+        import json as _json
+        import os as _os
+
+        mf = _json.loads(
+            open(_os.path.join(t.table_dir, m["path"])).read()
+        )
+        stamped += [
+            f.get("physical") for f in mf["files"] if f["path"].endswith(
+                tuple(e["path"].rsplit("/", 1)[-1] for e in entries)
+            )
+        ]
+    assert stamped and all(p == {"v": "bigint"} for p in stamped)
+
+
+def test_occ_rebase_schema_none_onto_widening_winner(spark, tmp_path):
+    """Same race with ``schema=None`` (caller keeps the table schema):
+    the written types are the BASIS schema's — still must be stamped."""
+    t = _mk(spark, tmp_path)
+    merge_into(
+        t,
+        spark.createDataFrame(
+            [("a", 1, 10, "1", "insert")], _batch_schema(T.LongType())
+        ),
+    )
+    base = t.snapshot()
+    entries = _write_long_era_file(spark, t, base, [("y", 3, 30, "2")])
+    evolved = T.StructType(
+        [
+            T.StructField("v", T.DoubleType(), True) if f.name == "v" else f
+            for f in base.schema.fields
+        ]
+    )
+    t.commit(files=base.files, schema=evolved, basis=base)
+    t.commit(files=list(base.files) + entries, schema=None, basis=base)
+    assert t.schema["v"].dataType == T.DoubleType()
+    assert _rows(t) == {"a": (1.0, 10), "y": (3.0, 30)}
+
+
 def test_legacy_inline_snapshot_widen_splits_eras(spark, tmp_path):
     """A widen whose parent is a legacy inline-files snapshot must keep
     the eras apart during the one-time manifest conversion: surviving
