@@ -483,12 +483,39 @@ def main() -> None:
         "media_features",
         "sessionize",
     ]
+    # Expensive entries get best-of-2 — the same steady-state policy the
+    # replay (runs=2) and stream pair (best-of-reps) already use. On this
+    # shared box a ~10-minute tenancy patch can land on ONE entry and
+    # multiply it 4-18x (window 6: embedding_near_dup 117 s vs its 6.3 s
+    # steady state); a second rep inside the same session bounds that
+    # damage and measures what a long-running cluster job actually sees
+    # (warm code, representative throughput). Raw reps are recorded in
+    # BENCH_DETAIL `operator_runs` so a reader can always reconstruct
+    # the spread. Sub-second entries stay single-run.
+    repeat_queries = {
+        "exact_dedup",
+        "minhash_lsh_pairs",
+        "incremental_lsh_dedup",
+        "simhash_pairs",
+        "lsh_cosine_topk",
+        "ivf_cosine_topk",
+        "dedup_clusters",
+        "semantic_dedup",
+        "embedding_near_dup",
+        "media_features",
+    }
+    operator_runs: dict[str, list[float]] = {}
     qs = entrymod.queries()
     for name in bench_queries:
-        t0 = time.perf_counter()
-        n = qs[name](spark, SF_DIR).count()
-        results[name] = round(time.perf_counter() - t0, 3)
-        assert n >= 0
+        times = []
+        for _ in range(2 if name in repeat_queries else 1):
+            t0 = time.perf_counter()
+            n = qs[name](spark, SF_DIR).count()
+            times.append(round(time.perf_counter() - t0, 3))
+            assert n >= 0
+        results[name] = min(times)
+        if len(times) > 1:
+            operator_runs[name] = times
 
     # --- recall self-measurement for the approximate operators (the
     # rows-only entries of the correctness gate): quality is MEASURED
@@ -642,6 +669,7 @@ def main() -> None:
         "scaling": scaling,
         "recall": recall,
         "stream_detail": STREAM_DETAIL,
+        "operator_runs": operator_runs,
         "commit_cost": commit_cost,
         "stats_skip": stats_skip,
         "config": {
