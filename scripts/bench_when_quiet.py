@@ -21,19 +21,28 @@ LOG = os.environ.get("SPARK_GRAFT_RECORD_LOG", "/tmp/bench_attempts.jsonl")
 IDLE_BETWEEN = 120.0
 
 
-def _probe() -> float:
+def _probe() -> tuple[float, list[float]]:
+    """Steady-state probe: 2 reps in one session, scored on the best.
+
+    The first full-scale rep in a fresh session pays tiered-JIT
+    compilation at data scale (measured 14.0 s cold vs 4.8 s warm for
+    the identical 400k replay — the 5k-event warmup does not amortize
+    it), so a single-rep probe conflates JIT with weather and can sit
+    ~3x under the gate on a perfectly clean box. The warm rep is the
+    weather signal; both reps are logged."""
     p = subprocess.run(
-        [sys.executable, "scripts/diag_replay_once.py", "400000", "8", "1"],
+        [sys.executable, "scripts/diag_replay_once.py", "400000", "8", "2"],
         cwd=ROOT, capture_output=True, text=True, timeout=900,
     )
-    best = 0.0
+    reps = []
     for line in p.stdout.splitlines():
         try:
             d = json.loads(line)
         except ValueError:
             continue
-        best = max(best, d.get("events_per_sec", 0.0))
-    return best
+        if "events_per_sec" in d:
+            reps.append(d["events_per_sec"])
+    return (max(reps, default=0.0), reps)
 
 
 def main() -> None:
@@ -41,9 +50,9 @@ def main() -> None:
     out_path = sys.argv[2] if len(sys.argv) > 2 else "/tmp/bench_window.out"
     t_end = time.time() + max_minutes * 60
     while time.time() < t_end:
-        eps = _probe()
+        eps, reps = _probe()
         rec = {"ts": round(time.time(), 1), "probe_events_per_sec": eps,
-               "gate": GATE, "ran": eps >= GATE}
+               "probe_reps": reps, "gate": GATE, "ran": eps >= GATE}
         with open(LOG, "a") as fh:
             fh.write(json.dumps(rec) + "\n")
         print(json.dumps(rec), flush=True)

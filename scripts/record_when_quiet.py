@@ -43,9 +43,14 @@ def main() -> None:
     target = float(sys.argv[2]) if len(sys.argv) > 2 else 25.1
     t_end = time.time() + max_minutes * 60
     while time.time() < t_end:
-        probe = _runs(["400000", "8", "1"], timeout=900)
+        # 2 reps, scored on the warm one: the first full-scale rep in a
+        # fresh session pays data-scale JIT (14.0 s cold vs 4.8 s warm
+        # for the identical 400k replay), so a 1-rep probe conflates JIT
+        # with weather and under-reads a clean box by ~3x.
+        probe = _runs(["400000", "8", "2"], timeout=900)
         eps = max((d["events_per_sec"] for d in probe), default=0.0)
         rec = {"ts": round(time.time(), 1), "probe_events_per_sec": eps,
+               "probe_reps": [d["events_per_sec"] for d in probe],
                "gate": GATE, "ran": eps >= GATE}
         if eps >= GATE:
             runs = _runs(["16000000", "32", "3"], timeout=3600)
