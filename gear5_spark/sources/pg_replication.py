@@ -21,8 +21,15 @@ reference's pgx-provided auth (`drivers/postgres/internal/postgres.go:45`).
 TLS is negotiated with the standard SSLRequest preamble + stdlib
 ``ssl`` when ``sslmode`` is require/verify-ca/verify-full (reference:
 sslmode plumbed at `drivers/postgres/internal/config.go:123-125`).
-SCRAM-SHA-256-PLUS (channel binding) is not offered — servers always
-advertise plain SCRAM-SHA-256 alongside it.
+Over TLS the client prefers **SCRAM-SHA-256-PLUS** with
+``tls-server-end-point`` channel binding (RFC 5929 §4.1: the hash of
+the server certificate, digest chosen by the certificate's signature
+algorithm with MD5/SHA-1 upgraded to SHA-256) whenever the server
+advertises it, binding the SCRAM exchange to THIS TLS channel so a
+credential-relaying MITM fails even with a trusted certificate; the
+gs2 flag follows libpq's ladder (``p=…`` when PLUS is used, ``y``
+when TLS is up but the server offered only plain SCRAM — downgrade
+evidence the server can act on — and ``n`` without TLS).
 
 Protocol layouts used (all big-endian; public PG docs "Message
 Formats" + "Streaming Replication Protocol"):
@@ -107,25 +114,109 @@ class ReplicationError(RuntimeError):
     pass
 
 
+def _oid_str(b: bytes) -> str:
+    """DER-encoded OBJECT IDENTIFIER value bytes -> dotted string."""
+    parts = [b[0] // 40, b[0] % 40]
+    val = 0
+    for c in b[1:]:
+        val = (val << 7) | (c & 0x7F)
+        if not c & 0x80:
+            parts.append(val)
+            val = 0
+    return ".".join(map(str, parts))
+
+
+def _der_tlv(b: bytes, pos: int) -> tuple[int, bytes, int]:
+    """One DER TLV at ``pos`` -> (tag, value bytes, end offset)."""
+    tag = b[pos]
+    pos += 1
+    ln = b[pos]
+    pos += 1
+    if ln & 0x80:
+        n = ln & 0x7F
+        ln = int.from_bytes(b[pos : pos + n], "big")
+        pos += n
+    return tag, b[pos : pos + ln], pos + ln
+
+
+#: certificate signatureAlgorithm OID -> hash for tls-server-end-point
+#: (RFC 5929 §4.1; MD5 and SHA-1 are upgraded to SHA-256)
+_SIG_OID_HASH = {
+    "1.2.840.113549.1.1.4": "sha256",   # md5WithRSA -> upgraded
+    "1.2.840.113549.1.1.5": "sha256",   # sha1WithRSA -> upgraded
+    "1.2.840.113549.1.1.11": "sha256",  # sha256WithRSA
+    "1.2.840.113549.1.1.12": "sha384",  # sha384WithRSA
+    "1.2.840.113549.1.1.13": "sha512",  # sha512WithRSA
+    "1.2.840.10045.4.1": "sha256",      # ecdsa-with-SHA1 -> upgraded
+    "1.2.840.10045.4.3.2": "sha256",    # ecdsa-with-SHA256
+    "1.2.840.10045.4.3.3": "sha384",    # ecdsa-with-SHA384
+    "1.2.840.10045.4.3.4": "sha512",    # ecdsa-with-SHA512
+    "1.3.101.112": "sha512",            # Ed25519 (no inner hash): SHA-512
+}
+
+
+def tls_server_end_point(der_cert: bytes) -> bytes:
+    """RFC 5929 §4.1 channel-binding data for a DER certificate: its
+    hash under the digest implied by the certificate's OWN signature
+    algorithm (parsed from the outer ``Certificate`` SEQUENCE —
+    tbsCertificate, signatureAlgorithm{OID, …}, signatureValue),
+    with MD5/SHA-1 upgraded to SHA-256. Unknown algorithms fall back
+    to SHA-256, matching libpq/pgx behavior."""
+    algo = "sha256"
+    try:
+        _, cert_body, _ = _der_tlv(der_cert, 0)  # Certificate ::= SEQ
+        off = len(der_cert) - len(cert_body)
+        _, _, tbs_end = _der_tlv(der_cert, off)  # tbsCertificate
+        _, sigalg, _ = _der_tlv(der_cert, tbs_end)  # signatureAlgorithm
+        tag, oid, _ = _der_tlv(sigalg, 0)
+        if tag == 0x06:
+            algo = _SIG_OID_HASH.get(_oid_str(oid), "sha256")
+    except (IndexError, ValueError):
+        pass  # malformed DER: SHA-256 default (cert already verified)
+    return hashlib.new(algo, der_cert).digest()
+
+
 class _ScramSha256:
-    """Client side of SCRAM-SHA-256 (RFC 5802, SHA-256 parameters per
-    RFC 7677), no channel binding (gs2 header ``n,,``). The username
-    attribute is left empty — PostgreSQL takes the role from the
-    startup packet and ignores SCRAM's ``n=``. SASLprep normalization
-    is not applied (stdlib has no implementation); passwords outside
-    printable ASCII should be avoided or fronted with psycopg2."""
+    """Client side of SCRAM-SHA-256 / SCRAM-SHA-256-PLUS (RFC 5802,
+    SHA-256 parameters per RFC 7677). With ``cb_data`` (the RFC 5929
+    ``tls-server-end-point`` certificate hash) the PLUS variant is
+    spoken: gs2 header ``p=tls-server-end-point,,`` and the binding
+    data carried in the ``c=`` attribute, so the server proves it
+    terminates THIS TLS channel. Without it the gs2 flag is ``y`` when
+    ``downgraded`` (TLS is up but the server offered no PLUS — the
+    honest libpq ladder) else ``n``. The username attribute is left
+    empty — PostgreSQL takes the role from the startup packet and
+    ignores SCRAM's ``n=``. SASLprep normalization is not applied
+    (stdlib has no implementation); passwords outside printable ASCII
+    should be avoided or fronted with psycopg2."""
 
     MECHANISM = "SCRAM-SHA-256"
 
-    def __init__(self, password: str, nonce: str | None = None):
+    def __init__(
+        self,
+        password: str,
+        nonce: str | None = None,
+        cb_data: bytes | None = None,
+        downgraded: bool = False,
+    ):
         self._password = password.encode()
         # printable-ASCII nonce, no commas (RFC 5802 attr syntax)
         self._nonce = nonce or base64.b64encode(os.urandom(18)).decode()
         self.client_first_bare = f"n=,r={self._nonce}"
         self._server_signature: bytes | None = None
+        if cb_data is not None:
+            self.mechanism = self.MECHANISM + "-PLUS"
+            self._gs2 = "p=tls-server-end-point,,"
+        else:
+            self.mechanism = self.MECHANISM
+            self._gs2 = "y,," if downgraded else "n,,"
+        # c= is base64(gs2-header || cb-data) — "biws"/"eSws" when empty
+        self._cbind = base64.b64encode(
+            self._gs2.encode() + (cb_data or b"")
+        ).decode()
 
     def client_first(self) -> bytes:
-        return ("n,," + self.client_first_bare).encode()
+        return (self._gs2 + self.client_first_bare).encode()
 
     def client_final(self, server_first: bytes) -> bytes:
         text = server_first.decode()
@@ -142,8 +233,10 @@ class _ScramSha256:
         )
         client_key = hmac.digest(salted, b"Client Key", "sha256")
         stored_key = hashlib.sha256(client_key).digest()
-        # c=biws is base64("n,,") — the gs2 header echoed channel-binding
-        without_proof = f"c=biws,r={full_nonce}"
+        # c= echoes the gs2 header plus any channel-binding data; the
+        # server recomputes it from ITS view of the TLS channel, so a
+        # relayed exchange mismatches here
+        without_proof = f"c={self._cbind},r={full_nonce}"
         auth_message = ",".join(
             [self.client_first_bare, text, without_proof]
         ).encode()
@@ -262,18 +355,33 @@ class ReplicationClient:
                         for m in body[4:].split(b"\x00")
                         if m
                     ]
-                    if _ScramSha256.MECHANISM not in mechs:
+                    cb = self._channel_binding()
+                    plus = _ScramSha256.MECHANISM + "-PLUS"
+                    if cb is not None and plus in mechs:
+                        # TLS channel + server offers PLUS: bind the
+                        # exchange to this channel (libpq does the same)
+                        self._scram = _ScramSha256(
+                            self.password, cb_data=cb
+                        )
+                    elif _ScramSha256.MECHANISM in mechs:
+                        # gs2 'y' over TLS tells the server we COULD
+                        # have bound but it offered no PLUS — a real PG
+                        # (which always offers PLUS on TLS) treats that
+                        # as downgrade evidence and aborts
+                        self._scram = _ScramSha256(
+                            self.password, downgraded=cb is not None
+                        )
+                    else:
                         raise ReplicationError(
                             f"no common SASL mechanism (server offers "
                             f"{mechs}, client speaks "
-                            f"{_ScramSha256.MECHANISM})"
+                            f"{_ScramSha256.MECHANISM}[-PLUS])"
                         )
-                    self._scram = _ScramSha256(self.password)
                     first = self._scram.client_first()
                     self._send_raw(
                         _msg(
                             b"p",
-                            _ScramSha256.MECHANISM.encode()
+                            self._scram.mechanism.encode()
                             + b"\x00"
                             + struct.pack(">i", len(first))
                             + first,
@@ -298,7 +406,7 @@ class ReplicationClient:
                     continue
                 raise ReplicationError(
                     f"unsupported auth method {code} (trust/cleartext/"
-                    "SCRAM-SHA-256 supported)"
+                    "SCRAM-SHA-256[-PLUS] supported)"
                 )
             elif tag in (b"S", b"K", b"N"):  # params / key data / notice
                 continue
@@ -523,6 +631,16 @@ class ReplicationClient:
         self._sock = ctx.wrap_socket(
             self._sock, server_hostname=self.host
         )
+
+    def _channel_binding(self) -> bytes | None:
+        """``tls-server-end-point`` data for the live TLS channel, or
+        None when the transport is plaintext (no channel to bind)."""
+        if not isinstance(self._sock, ssl.SSLSocket):
+            return None
+        der = self._sock.getpeercert(binary_form=True)
+        if not der:
+            return None
+        return tls_server_end_point(der)
 
     def _send_status(self) -> None:
         """Standby status update: received/flushed/applied all report the

@@ -57,13 +57,17 @@ class FakeWalSender(threading.Thread):
     standby-status update the client sends."""
 
     def __init__(self, frames, require_password=None, split_writes=False,
-                 scram_password=None, tls_ctx=None, bad_server_sig=False):
+                 scram_password=None, tls_ctx=None, bad_server_sig=False,
+                 offer_plus=False, der_cert=None):
         super().__init__(daemon=True)
         self.frames = frames  # [(wal_start, pgoutput payload bytes)]
         self.require_password = require_password
         self.scram_password = scram_password  # SCRAM-SHA-256 exchange
         self.tls_ctx = tls_ctx  # ssl.SSLContext -> expect SSLRequest
         self.bad_server_sig = bad_server_sig  # forge v= in SASLFinal
+        self.offer_plus = offer_plus  # advertise SCRAM-SHA-256-PLUS
+        self.der_cert = der_cert  # server cert DER (for cb verification)
+        self.used_mechanism = None  # what the client picked
         self.split_writes = split_writes  # stress the client's reframing
         self.statuses: list[int] = []  # flushed LSNs from 'r' updates
         self.startup_params: dict[str, str] = {}
@@ -179,21 +183,40 @@ class FakeWalSender(threading.Thread):
             pass
 
     def _scram_auth(self, c) -> bool:
-        """Real server side of SCRAM-SHA-256 (RFC 5802/7677): verifies
-        the client proof against the stored key derived from
-        ``scram_password`` — not a rubber stamp."""
-        self._send(
-            c,
-            _m(b"R", struct.pack(">i", 10) + b"SCRAM-SHA-256\x00\x00"),
+        """Real server side of SCRAM-SHA-256[-PLUS] (RFC 5802/7677):
+        verifies the client proof against the stored key derived from
+        ``scram_password`` — not a rubber stamp — and, when the client
+        binds the channel, recomputes the expected ``c=`` from the
+        server's OWN certificate exactly as PostgreSQL does."""
+        mech_list = (
+            b"SCRAM-SHA-256-PLUS\x00SCRAM-SHA-256\x00\x00"
+            if self.offer_plus
+            else b"SCRAM-SHA-256\x00\x00"
         )
+        self._send(c, _m(b"R", struct.pack(">i", 10) + mech_list))
         tag, body = self._recv_msg(c)
         assert tag == b"p"
         end = body.index(b"\x00")
-        assert body[:end].decode() == "SCRAM-SHA-256"
+        mech = body[:end].decode()
+        self.used_mechanism = mech
+        assert mech in ("SCRAM-SHA-256", "SCRAM-SHA-256-PLUS")
         (ln,) = struct.unpack_from(">i", body, end + 1)
         client_first = body[end + 5 : end + 5 + ln].decode()
-        assert client_first.startswith("n,,")  # no channel binding
-        bare = client_first[3:]
+        if mech == "SCRAM-SHA-256-PLUS":
+            gs2 = "p=tls-server-end-point,,"
+            assert client_first.startswith(gs2)
+            from gear5_spark.sources.pg_replication import (
+                tls_server_end_point,
+            )
+            expect_c = base64.b64encode(
+                gs2.encode() + tls_server_end_point(self.der_cert)
+            ).decode()
+        else:
+            gs2 = client_first[: client_first.index(",,") + 2]
+            assert gs2 in ("n,,", "y,,")
+            expect_c = base64.b64encode(gs2.encode()).decode()
+        self.seen_gs2 = gs2
+        bare = client_first[len(gs2):]
         cnonce = dict(p.split("=", 1) for p in bare.split(","))["r"]
         snonce = cnonce + "srvXYZ"
         salt, iters = b"0123456789abcdef", 4096
@@ -207,7 +230,7 @@ class FakeWalSender(threading.Thread):
         assert tag == b"p"
         client_final = body.decode()
         attrs = dict(p.split("=", 1) for p in client_final.split(","))
-        assert attrs["c"] == "biws" and attrs["r"] == snonce
+        assert attrs["c"] == expect_c and attrs["r"] == snonce
         salted = hashlib.pbkdf2_hmac(
             "sha256", self.scram_password.encode(), salt, iters
         )
@@ -511,6 +534,103 @@ def test_tls_verify_full_tail(tmp_path, tls_cert):
         tmp_path / "wal" / "chunk-000000.parquet"
     ).to_pylist()
     assert [(r["lsn"], r["turn_idx"]) for r in rows] == [(700, 0), (700, 1)]
+
+
+def test_scram_plus_channel_binding_tail(tmp_path, tls_cert):
+    """Server advertises SCRAM-SHA-256-PLUS over TLS: the client must
+    pick the PLUS variant with gs2 ``p=tls-server-end-point,,`` and a
+    ``c=`` carrying the certificate hash — the fake server recomputes
+    the binding from its own certificate (as PostgreSQL does) and
+    rejects a mismatch, so a passing tail proves the binding data."""
+    crt, key = tls_cert
+    ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+    ctx.load_cert_chain(crt, key)
+    der = ssl.PEM_cert_to_DER_cert(open(crt).read())
+    frames = _tx_frames(810, 2)
+    srv = FakeWalSender(
+        frames, scram_password="pw", tls_ctx=ctx,
+        offer_plus=True, der_cert=der,
+    )
+    srv.start()
+    client = ReplicationClient(
+        "127.0.0.1", srv.port, user="rep", dbname="app", password="pw",
+        sslmode="verify-full", sslrootcert=crt,
+    )
+    client.connect()
+    feed = PgOutputFeed(str(tmp_path / "wal"))
+    client.run(feed, slot="s", publication="p")
+    client.close()
+    srv.join(timeout=5)
+    assert not srv.errors, srv.errors
+    assert srv.used_mechanism == "SCRAM-SHA-256-PLUS"
+    assert srv.seen_gs2 == "p=tls-server-end-point,,"
+    rows = pq.read_table(
+        tmp_path / "wal" / "chunk-000000.parquet"
+    ).to_pylist()
+    assert [(r["lsn"], r["turn_idx"]) for r in rows] == [(810, 0), (810, 1)]
+
+
+def test_scram_downgrade_flag_over_tls(tmp_path, tls_cert):
+    """TLS is up but the server offers only plain SCRAM (the pgbouncer
+    shape): the client falls back to SCRAM-SHA-256 with gs2 ``y`` —
+    honest downgrade evidence per RFC 5802 — instead of ``n``."""
+    crt, key = tls_cert
+    ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+    ctx.load_cert_chain(crt, key)
+    frames = _tx_frames(820, 1)
+    srv = FakeWalSender(frames, scram_password="pw", tls_ctx=ctx)
+    srv.start()
+    client = ReplicationClient(
+        "127.0.0.1", srv.port, user="rep", dbname="app", password="pw",
+        sslmode="verify-full", sslrootcert=crt,
+    )
+    client.connect()
+    feed = PgOutputFeed(str(tmp_path / "wal"))
+    client.run(feed, slot="s", publication="p")
+    client.close()
+    srv.join(timeout=5)
+    assert not srv.errors, srv.errors
+    assert srv.used_mechanism == "SCRAM-SHA-256"
+    assert srv.seen_gs2 == "y,,"
+
+
+def test_tls_server_end_point_digest_selection(tls_cert):
+    """RFC 5929 digest choice: the fixture cert is sha256WithRSA so the
+    binding is SHA-256 of the DER; a handcrafted certificate whose
+    signatureAlgorithm is sha384WithRSA hashes with SHA-384; MD5/SHA-1
+    upgrade to SHA-256; garbage DER falls back to SHA-256."""
+    import hashlib as _hl
+
+    from gear5_spark.sources.pg_replication import tls_server_end_point
+
+    crt, _ = tls_cert
+    der = ssl.PEM_cert_to_DER_cert(open(crt).read())
+    assert tls_server_end_point(der) == _hl.sha256(der).digest()
+
+    def _tlv(tag: int, val: bytes) -> bytes:
+        if len(val) < 0x80:
+            return bytes([tag, len(val)]) + val
+        enc = len(val).to_bytes(2, "big")
+        return bytes([tag, 0x82]) + enc + val
+
+    def _fake_cert(sig_oid: bytes) -> bytes:
+        tbs = _tlv(0x30, b"")
+        alg = _tlv(0x30, _tlv(0x06, sig_oid) + _tlv(0x05, b""))
+        sig = _tlv(0x03, b"\x00sig")
+        return _tlv(0x30, tbs + alg + sig)
+
+    sha384_oid = bytes(  # 1.2.840.113549.1.1.12
+        [0x2A, 0x86, 0x48, 0x86, 0xF7, 0x0D, 0x01, 0x01, 0x0C]
+    )
+    c384 = _fake_cert(sha384_oid)
+    assert tls_server_end_point(c384) == _hl.sha384(c384).digest()
+    sha1_oid = bytes(  # 1.2.840.113549.1.1.5 -> upgraded to SHA-256
+        [0x2A, 0x86, 0x48, 0x86, 0xF7, 0x0D, 0x01, 0x01, 0x05]
+    )
+    c1 = _fake_cert(sha1_oid)
+    assert tls_server_end_point(c1) == _hl.sha256(c1).digest()
+    junk = b"\x30\x03junkthatisnotDER"
+    assert tls_server_end_point(junk) == _hl.sha256(junk).digest()
 
 
 def test_tls_refused_raises():
