@@ -152,6 +152,9 @@ _SIG_OID_HASH = {
     "1.2.840.10045.4.3.3": "sha384",    # ecdsa-with-SHA384
     "1.2.840.10045.4.3.4": "sha512",    # ecdsa-with-SHA512
     "1.3.101.112": "sha512",            # Ed25519 (no inner hash): SHA-512
+    # RSASSA-PSS (1.2.840.113549.1.1.10) carries its hash in the
+    # AlgorithmIdentifier params; not parsed — falls through to the
+    # SHA-256 default, which is the overwhelmingly common PSS choice.
 }
 
 
