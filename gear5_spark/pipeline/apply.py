@@ -55,6 +55,27 @@ RESERVED_COLS = {
     "_src_file",
 }
 
+# the per-batch winner cache is read exactly twice (discovery agg +
+# normalize/write) then dropped; columnar cache compression costs more
+# CPU to build than it ever saves on those two reads (bench_extra
+# `chain`: ~14 task-s per 4M-event batch at 8 cores), so the ephemeral
+# batch cache defaults to uncompressed. Long-lived caches are
+# unaffected (the conf is restored right after persist()). Opt back in
+# for memory-starved executors via SPARK_GRAFT_BATCH_CACHE_COMPRESS=true.
+_CACHE_COMPRESS_ENV = "SPARK_GRAFT_BATCH_CACHE_COMPRESS"
+_CACHE_COMPRESS_CONF = "spark.sql.inMemoryColumnarStorage.compressed"
+
+
+def _persist_batch_cache(df: DataFrame) -> DataFrame:
+    compress = os.environ.get(_CACHE_COMPRESS_ENV, "false").lower() == "true"
+    conf = df.sparkSession.conf
+    prev = conf.get(_CACHE_COMPRESS_CONF, "true")
+    try:
+        conf.set(_CACHE_COMPRESS_CONF, "true" if compress else "false")
+        return df.persist()
+    finally:
+        conf.set(_CACHE_COMPRESS_CONF, prev)
+
 _SAMPLE_PER_KEY = 100  # reference samples 100 records (protocol/discover.go:46)
 
 
@@ -73,7 +94,13 @@ def _payload_keys(col: str):
     bandwidth ceiling, not lock spin — Jackson's canonicalizer read
     path is lock-free; only the brief child-merge on close syncs.
     Keys-only parsing is therefore the right call at any executor
-    width; re-run the A/B if a profile ever shows this stage hot."""
+    width; re-run the A/B if a profile ever shows this stage hot.
+    (r6 also tried caching the parsed map alongside the raw docs so
+    every consumer reads tokens: clean-window win, but the MapType
+    column in the columnar batch cache degraded reproducibly across
+    micro-batches — dedup CPU 108 -> 270 -> 428 s over three reps at 8
+    cores while the raw-only cache held ~100 — so the per-consumer
+    parse stays.)"""
     return F.json_object_keys(col)
 
 
@@ -505,19 +532,20 @@ class TranscriptsApplier:
                 BUCKET_COL, self.table.bucket_expr(snap0)
             ).withColumn("_pslot", slot_expr)
             placed = placed.repartition(n_slots, "_pslot")
-            deduped_raw = (
+            deduped_raw = _persist_batch_cache(
                 latest_per_key(placed, KEY_COLS, co_group_cols=["_pslot"])
                 .drop("_pslot", BUCKET_COL)
-                .persist()
             )
             pre_placed = n_b
         else:
             # partial (map-side-combined) or salted plan: the dedup
             # shuffle carries pre-reduced rows; the write repartitions
             # the winner set by placement slot (pre_placed stays None)
-            deduped_raw = latest_per_key(
-                valid, KEY_COLS, salt_buckets=self.salt_buckets
-            ).persist()
+            deduped_raw = _persist_batch_cache(
+                latest_per_key(
+                    valid, KEY_COLS, salt_buckets=self.salt_buckets
+                )
+            )
         from gear5_spark.perf import span
 
         try:
@@ -739,7 +767,10 @@ class TranscriptsApplier:
                 self.rollup.refresh(deduped_raw, int(batch_id))
             return snap
         finally:
-            deduped_raw.unpersist()
+            # blocking: the next batch's (uncompressed) winner cache must
+            # not race stale blocks for storage memory — async release
+            # let evicted-block churn snowball across micro-batches
+            deduped_raw.unpersist(blocking=True)
 
 
 def _malformed_key():
