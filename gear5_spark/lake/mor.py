@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from gear5_spark.lake.merge import _FEED_META
+from gear5_spark.lake.merge import _FEED_META, SLOT_COL
 from gear5_spark.lake.table import BUCKET_COL, CDC_LSN, LakeTable, Snapshot
 from gear5_spark.operators.typing import merge_schemas
 
@@ -58,7 +58,7 @@ def merge_delta(
     batch_fields = [
         f
         for f in batch.schema.fields
-        if f.name not in (op_col, OP_COL, BUCKET_COL)
+        if f.name not in (op_col, OP_COL, BUCKET_COL, SLOT_COL)
         and f.name not in _FEED_META
     ]
     evolved, _changes = merge_schemas(

@@ -216,6 +216,7 @@ def normalize_changes(
     df: DataFrame,
     payload_schema,
     mode: str = "sql",
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Raw change feed -> typed change DataFrame.
 
@@ -225,15 +226,22 @@ def normalize_changes(
     typed column per payload field + ``_cdc_*`` columns. Delete events
     carry null payload (wal2json deletes carry only oldkeys,
     /root/reference/pkg/waljs/types.go:59-63).
+
+    ``carry_cols``: physical-layout columns (e.g. the placement slot) to
+    pass through untouched when present — keeping them in the plan
+    preserves the input's partitioning attribute so a downstream
+    co-partitioned merge join needs no new exchange.
     """
     specs = _to_specs(payload_schema)
+    carried = [c for c in carry_cols if c in df.columns]
     if mode == "pandas":
-        return _normalize_pandas(df, specs)
+        return _normalize_pandas(df, specs, carried)
     parse_schema = T.StructType(
         [T.StructField(s.source, _parse_type(s.token), True) for s in specs]
     )
     parsed = df.withColumn("_after", F.from_json(F.col("after_json"), parse_schema))
     out = parsed.select(
+        *carried,
         "lsn",
         "txn_id",
         "txn_seq",
@@ -341,8 +349,12 @@ def _coerce_pd(series: pd.Series, token: str) -> pd.Series:
     return series  # complex (array/struct): python objects pass through
 
 
-def _normalize_pandas(df: DataFrame, specs: list[PayloadField]) -> DataFrame:
-    meta_cols = ["lsn", "txn_id", "txn_seq", "op", "ts_ms", "conv_id", "turn_idx"]
+def _normalize_pandas(
+    df: DataFrame, specs: list[PayloadField], carried: list[str] | None = None
+) -> DataFrame:
+    meta_cols = list(carried or []) + [
+        "lsn", "txn_id", "txn_seq", "op", "ts_ms", "conv_id", "turn_idx",
+    ]
     out_fields = [df.schema[c] for c in meta_cols] + [
         T.StructField(s.col, output_type(s.token), True) for s in specs
     ]

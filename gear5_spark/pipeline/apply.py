@@ -501,6 +501,7 @@ class TranscriptsApplier:
         # dedup (pathological per-key skew) keeps the classic two-
         # shuffle plan — salting is incompatible with co-location.
         pre_placed: int | None = None
+        pre_slots: int | None = None
         if self.dedup_plan == "fused":
             use_fused = True
         elif self.dedup_plan == "partial":
@@ -532,11 +533,15 @@ class TranscriptsApplier:
                 BUCKET_COL, self.table.bucket_expr(snap0)
             ).withColumn("_pslot", slot_expr)
             placed = placed.repartition(n_slots, "_pslot")
+            # keep _pslot through the cache: the merge join co-partitions
+            # on it (lake/merge.py slots_per_bucket), so the batch is
+            # never re-shuffled after this one placement exchange
             deduped_raw = _persist_batch_cache(
                 latest_per_key(placed, KEY_COLS, co_group_cols=["_pslot"])
-                .drop("_pslot", BUCKET_COL)
+                .drop(BUCKET_COL)
             )
             pre_placed = n_b
+            pre_slots = q
         else:
             # partial (map-side-combined) or salted plan: the dedup
             # shuffle carries pre-reduced rows; the write repartitions
@@ -673,6 +678,7 @@ class TranscriptsApplier:
                     ]
             deduped = normalize_changes(
                 deduped_raw, specs, mode=self.normalize_mode,
+                carry_cols=("_pslot",),
             )
             lineage = {
                 "batch_id": int(batch_id),
@@ -761,6 +767,7 @@ class TranscriptsApplier:
                     lineage=lineage,
                     affected_buckets=affected,
                     pre_placed=pre_placed,
+                    slots_per_bucket=pre_slots,
                 )
             self.applied.append(mstats)
             if self.rollup is not None:

@@ -44,6 +44,14 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # allow a join whose children are hash-partitioned on a SUBSET
+        # of the join keys to run without a new exchange (rows with
+        # equal join keys share the subset hash, so co-location is
+        # guaranteed). The co-partitioned MERGE (lake/merge.py
+        # slots_per_bucket) leads its equi-join with the placement slot
+        # both sides are already partitioned on; with the default
+        # (true) Spark re-shuffles both sides by the full key anyway.
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")

@@ -77,8 +77,8 @@ def test_merge_plans_exactly_one_join(spark, log_dir, tmp_path):
         + [T.StructField("_bucket", T.IntegerType(), True)]
     )
     merged = _guarded_merge(
-        target, batch, ["conv_id", "turn_idx"], "op", "hard",
-        write_schema, broadcast_batch=False,
+        target, batch, ["conv_id", "turn_idx"], ["conv_id", "turn_idx"],
+        "op", "hard", write_schema, broadcast_batch=False,
     )
     plan = _plan(merged, mode="simple")
     joins = sum(plan.count(j) for j in ("SortMergeJoin", "ShuffledHashJoin",
