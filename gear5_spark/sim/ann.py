@@ -20,6 +20,13 @@ from gear5_spark.parallel import fan_out
 
 
 def _dot(a, b):
+    # zip_with/aggregate stays the ONLY formulation on purpose: an r6
+    # A/B unrolled this to a 64-term codegen Add chain (bit-identical
+    # fold order, size()==dim guard) and it measured SLOWER in the real
+    # confirm stage — +0.5 s for the dot, +2 s for the unrolled norm on
+    # a 2M-pair confirm, consistent across interleaved reps — Spark 4.1
+    # evaluates these HOFs efficiently and the giant CASE tree only
+    # bloats the plan. See OPTIMIZATION_r06.md "rejected".
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -237,6 +244,24 @@ def _table_buckets(
     ).select(out_id, F.col("tb.tbl").alias("tbl"), F.col("tb.bkt").alias("bkt"))
 
 
+def _fits_broadcast(df: DataFrame) -> bool:
+    """True when the optimizer's own size estimate for ``df`` is a real
+    (non-default) figure under the session broadcast threshold — a
+    driver-side metadata read, never a job."""
+    try:
+        est = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        thresh = int(
+            df.sparkSession._jsparkSession.sessionState()
+            .conf()
+            .autoBroadcastJoinThreshold()
+        )
+    except Exception:
+        return False
+    return 0 < thresh and 0 < est <= thresh
+
+
 def _confirm_cosine_pairs(
     emb: DataFrame,
     cand: DataFrame,
@@ -271,6 +296,16 @@ def _confirm_cosine_pairs(
     cand = cand.repartition(
         emb.sparkSession.sparkContext.defaultParallelism
     )
+    # Broadcast the VECTOR projections when the corpus is provably small
+    # (driver-side stats, no job): the candidate side is a post-
+    # aggregate subtree whose size estimate collapses to a few bytes, so
+    # left alone the planner broadcasts the PAIR SET and streams the
+    # vectors — every scoring task then deserializes the multi-million-
+    # row pair relation (measured: 150 CPU-s for a 2M-pair confirm whose
+    # explicit-broadcast plan costs ~20). When the corpus is too big to
+    # broadcast the hint is omitted and the joins shuffle both sides as
+    # before (the 10^9-vector shape).
+    force_bcast = _fits_broadcast(emb)
     emb = fan_out(emb)
     with_norm = impl != "arrow"  # arrow mode norms inside the batch
     va = emb.select(
@@ -283,6 +318,8 @@ def _confirm_cosine_pairs(
         F.col(vec_col).alias("_vb"),
         *([_norm(F.col(vec_col)).alias("_nb")] if with_norm else []),
     )
+    if force_bcast:
+        va, vb = F.broadcast(va), F.broadcast(vb)
     joined = cand.join(va, "doc_id_a").join(vb, "doc_id_b")
     if impl == "arrow":
         return _arrow_cosine_confirm(joined, threshold)
