@@ -518,6 +518,7 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    prev_sum = None
     try:
         for _ in range(max_iterations):
             nbr = sym.join(
@@ -545,22 +546,27 @@ def connected_components(
                     F.col("x.node").alias("node"),
                     F.coalesce("l_label", "x.label").alias("label"),
                 )
-                .localCheckpoint(eager=True)
+                # lazy: the convergence aggregate below is the
+                # materializing action, so each round is ONE job — the
+                # eager-checkpoint-then-join-changed-probe shape cost a
+                # second full job (join + limit scan) per round
+                .localCheckpoint(eager=False)
             )
-            changed = (
-                new.alias("n")
-                .join(labels.alias("o"), "node")
-                .filter(F.col("n.label") != F.col("o.label"))
-                .limit(1)
-                .count()
-            )
+            # fixpoint test fused into the materialization: labels are
+            # min-folded, so they can only DECREASE — the exact label
+            # sum (decimal: no int64 wrap on huge-id corpora) is
+            # unchanged iff no label moved this round
+            cur_sum = new.agg(
+                F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+            ).first()["s"]
             # superseded localCheckpoint blocks are reclaimed by the
             # context cleaner once this reference drops (DataFrame
             # .unpersist() does NOT release checkpoint storage — it only
             # uncaches persist()/cache() entries)
             labels = new
-            if changed == 0:
+            if prev_sum is not None and cur_sum == prev_sum:
                 break
+            prev_sum = cur_sum
     finally:
         sym.unpersist()
     return labels
@@ -715,7 +721,13 @@ def simhash_near_duplicates(
     sub-threshold connectivity edges into the similarity claims."""
     band_bits = simhash_bits(hasher) // 4
     band_mask = (1 << band_bits) - 1
-    sigs = simhash(docs, shingle_n, hasher)
+    # materialize the signatures ONCE: the banding explode and both
+    # confirm-join sides read this same frame, and without the
+    # checkpoint each branch re-runs the whole shingle+hash+60-vote
+    # aggregation (3x the dominant CPU of this operator). Signature
+    # rows are (long, long) — O(corpus) skinny state; the context
+    # cleaner reclaims the blocks when the result frame is dropped.
+    sigs = simhash(docs, shingle_n, hasher).localCheckpoint(eager=True)
     banded = sigs.select(
         "doc_id",
         F.explode(
