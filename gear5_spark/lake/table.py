@@ -679,7 +679,20 @@ class LakeTable:
         if sort_cols:
             part = part.sortWithinPartitions(*sort_cols)
         with span("table.write_parquet"):
-            part.write.mode("errorifexists").parquet(out_dir)
+            # dictionary encoding off for DATA files: the payload-bearing
+            # columns are near-unique (dictionary build runs until the
+            # page fills, then falls back — pure CPU), while zstd
+            # recovers the low-cardinality columns' redundancy anyway.
+            # A/B on the 2.8M-winner batch (8 cores): write 2.3-2.7 s ->
+            # 1.8-1.9 s for +0.5% bytes, read-back unchanged. Min/max
+            # footer stats (manifest pruning) are independent of
+            # dictionary encoding. Per-write option — other parquet
+            # writes in the engine keep the default.
+            writer = part.write.mode("errorifexists").option(
+                "parquet.enable.dictionary",
+                os.environ.get("SPARK_GRAFT_PARQUET_DICT", "false"),
+            )
+            writer.parquet(out_dir)
         with span("table.footer_scan"):
             entries = self._scan_written(out_dir, pq, snap)
         return commit, entries

@@ -306,7 +306,11 @@ def _confirm_cosine_pairs(
     # broadcast the hint is omitted and the joins shuffle both sides as
     # before (the 10^9-vector shape).
     force_bcast = _fits_broadcast(emb)
-    emb = fan_out(emb)
+    if not force_bcast:
+        # spread the per-row norm compute only when the vectors will be
+        # shuffle-joined; a broadcast build runs single-stream anyway,
+        # so the fan_out exchange would be a pure extra stage
+        emb = fan_out(emb)
     with_norm = impl != "arrow"  # arrow mode norms inside the batch
     va = emb.select(
         F.col(id_col).alias("doc_id_a"),
@@ -872,11 +876,18 @@ def lsh_cosine_topk(
         F.col(vec_col).alias("q_vec"),
         _norm(F.col(vec_col)).alias("_qn"),
     )
-    bv = fan_out(emb).select(
+    bcast_base = _fits_broadcast(emb)
+    bv = (emb if bcast_base else fan_out(emb)).select(
         F.col(id_col).alias("b_id"),
         F.col(vec_col).alias("b_vec"),
         _norm(F.col(vec_col)).alias("_bn"),
     )
+    if bcast_base:
+        # small corpus: pin the base-vector attach as a broadcast so the
+        # (post-aggregate, estimate-less) candidate set is never the
+        # build side, and skip the fan_out exchange a broadcast build
+        # would waste (same rationale as _confirm_cosine_pairs)
+        bv = F.broadcast(bv)
     scored = (
         cand.join(F.broadcast(qv), "q_id")
         .join(bv, "b_id")
