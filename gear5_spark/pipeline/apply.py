@@ -56,18 +56,39 @@ RESERVED_COLS = {
 }
 
 # the per-batch winner cache is read exactly twice (discovery agg +
-# normalize/write) then dropped; columnar cache compression costs more
-# CPU to build than it ever saves on those two reads (bench_extra
-# `chain`: ~14 task-s per 4M-event batch at 8 cores), so the ephemeral
-# batch cache defaults to uncompressed. Long-lived caches are
-# unaffected (the conf is restored right after persist()). Opt back in
-# for memory-starved executors via SPARK_GRAFT_BATCH_CACHE_COMPRESS=true.
+# normalize/write) then dropped; for batches that fit comfortably in
+# storage memory, columnar cache compression costs more CPU to build
+# than it ever saves on those two reads (interleaved A/B at 4M events /
+# 1.2 GB source: dedup-phase 99 -> 71 CPU-s uncompressed), but past a
+# few GB the extra uncompressed bytes through the memory hierarchy lose
+# (16M events / 4.9 GB source: compressed won every interleaved pair,
+# 21.5-29 s vs 26-72 s at local[32]). The choice is therefore adaptive
+# on the batch's OWN scan-size estimate (driver-side stats, no job),
+# with the crossover threshold env-tunable and an explicit override.
+# Long-lived caches are unaffected (the conf is restored right after
+# persist()).
 _CACHE_COMPRESS_ENV = "SPARK_GRAFT_BATCH_CACHE_COMPRESS"
+_CACHE_NOCOMP_MAX_ENV = "SPARK_GRAFT_BATCH_CACHE_NOCOMP_MAX_BYTES"
+_CACHE_NOCOMP_MAX_DEFAULT = 2_500_000_000  # ~measured crossover midpoint
 _CACHE_COMPRESS_CONF = "spark.sql.inMemoryColumnarStorage.compressed"
 
 
-def _persist_batch_cache(df: DataFrame) -> DataFrame:
-    compress = os.environ.get(_CACHE_COMPRESS_ENV, "false").lower() == "true"
+def _persist_batch_cache(
+    df: DataFrame, source_bytes: int | None = None
+) -> DataFrame:
+    forced = os.environ.get(_CACHE_COMPRESS_ENV)
+    if forced is not None:
+        compress = forced.lower() == "true"
+    else:
+        limit = int(
+            os.environ.get(_CACHE_NOCOMP_MAX_ENV, _CACHE_NOCOMP_MAX_DEFAULT)
+        )
+        # unknown size -> uncompressed: the only unknown-stats producer
+        # in the engine is a streaming micro-batch (LogicalRDD), and
+        # those are maxFilesPerTrigger-bounded; bulk replays read file
+        # scans with real estimates. MEMORY_AND_DISK spill bounds the
+        # downside if a caller feeds an unbounded statless batch.
+        compress = source_bytes is not None and source_bytes > limit
     conf = df.sparkSession.conf
     prev = conf.get(_CACHE_COMPRESS_CONF, "true")
     try:
@@ -75,6 +96,20 @@ def _persist_batch_cache(df: DataFrame) -> DataFrame:
         return df.persist()
     finally:
         conf.set(_CACHE_COMPRESS_CONF, prev)
+
+
+def _scan_size_estimate(df: DataFrame) -> int | None:
+    """Optimizer sizeInBytes for ``df`` — a driver-side metadata read
+    (file-scan based for batches, so it is a real figure, unlike
+    post-aggregate estimates). None when unavailable."""
+    try:
+        est = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return None
+    # Catalyst's "unknown" default is Long.Max-ish — treat as unknown
+    return est if 0 < est < (1 << 60) else None
 
 _SAMPLE_PER_KEY = 100  # reference samples 100 records (protocol/discover.go:46)
 
@@ -538,7 +573,8 @@ class TranscriptsApplier:
             # never re-shuffled after this one placement exchange
             deduped_raw = _persist_batch_cache(
                 latest_per_key(placed, KEY_COLS, co_group_cols=["_pslot"])
-                .drop(BUCKET_COL)
+                .drop(BUCKET_COL),
+                source_bytes=_scan_size_estimate(batch),
             )
             pre_placed = n_b
             pre_slots = q
@@ -549,7 +585,8 @@ class TranscriptsApplier:
             deduped_raw = _persist_batch_cache(
                 latest_per_key(
                     valid, KEY_COLS, salt_buckets=self.salt_buckets
-                )
+                ),
+                source_bytes=_scan_size_estimate(batch),
             )
         from gear5_spark.perf import span
 
